@@ -1,0 +1,303 @@
+"""Building-block layers (flax.linen, channel-minor NHWC/NDHWC).
+
+Re-designs of the reference's torch submodules
+(``/root/reference/models/submodule.py``) with bit-matched semantics:
+
+  * :class:`TorchBatchNorm` reproduces ``nn.BatchNorm2d/3d`` exactly —
+    biased variance for normalization, *unbiased* variance in the running
+    estimate, torch's momentum convention (0.1 = weight of the new batch);
+  * :func:`conv_transpose` reproduces ``nn.ConvTranspose2d/3d`` via
+    ``lax.conv_general_dilated`` with input dilation;
+  * **naming**: every flax child is named with its torch state_dict path
+    segment(s) (flax allows dots/digits in names), so the joined flax path
+    equals the torch key — the torch→JAX checkpoint converter in
+    ``mode_tpu.utils.torch_convert`` is a pure path join plus one universal
+    axis permutation.
+
+Weight init matches the reference: conv weights ~ N(0, sqrt(2/(k·k·C_out)))
+(``mode_disparity.py:82-96``), BN scale 1 / bias 0, sphere-conv weights
+~ U(±1/sqrt(C_in·k·k)) (``sphere_conv.py:160-165``), transpose convs keep
+torch's default kaiming-uniform.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mode_tpu.ops.sphere_conv import sphere_conv
+
+# Global matmul/conv precision: HIGHEST keeps float32 accumulation on the MXU
+# (needed for checkpoint parity with the fp32 reference); the fast path feeds
+# bfloat16 data instead, which runs at native MXU speed either way.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def msra_normal_init():
+  """N(0, sqrt(2/n)), n = prod(kernel)*C_out (mode_disparity.py:82-88);
+  flax kernels are (*K, I, O)."""
+  def init(key, shape, dtype=jnp.float32):
+    n = np.prod(shape[:-2]) * shape[-1]
+    return jax.random.normal(key, shape, dtype) * math.sqrt(2.0 / n)
+  return init
+
+
+def sphere_uniform_init():
+  """U(±1/sqrt(n)), n = C_in*prod(kernel) (sphere_conv.py:160-165)."""
+  def init(key, shape, dtype=jnp.float32):
+    n = np.prod(shape[:-2]) * shape[-2]
+    stdv = 1.0 / math.sqrt(n)
+    return jax.random.uniform(key, shape, dtype, -stdv, stdv)
+  return init
+
+
+def _transpose_init():
+  """Torch _ConvNd default on transpose convs: kaiming_uniform(a=√5) with
+  fan_in computed from weight.shape[1]*prod(k) — which for torch's (I, O, *K)
+  transpose layout is C_out*prod(k). Stored here as (*K, O, I)."""
+  def init(key, shape, dtype=jnp.float32):
+    fan_in = shape[-2] * np.prod(shape[:-2])
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+  return init
+
+
+class TorchBatchNorm(nn.Module):
+  """BatchNorm with exact torch semantics over the last (channel) axis."""
+  momentum: float = 0.1
+  eps: float = 1e-5
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    c = x.shape[-1]
+    scale = self.param("scale", nn.initializers.ones, (c,))
+    bias = self.param("bias", nn.initializers.zeros, (c,))
+    ra_mean = self.variable("batch_stats", "mean",
+                            lambda: jnp.zeros((c,), jnp.float32))
+    ra_var = self.variable("batch_stats", "var",
+                           lambda: jnp.ones((c,), jnp.float32))
+
+    if train:
+      reduce_axes = tuple(range(x.ndim - 1))
+      n = int(np.prod([x.shape[a] for a in reduce_axes]))
+      xf = x.astype(jnp.float32)
+      mean = jnp.mean(xf, axis=reduce_axes)
+      var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+      if not self.is_initializing():
+        unbiased = var * (n / max(n - 1, 1))
+        ra_mean.value = ((1 - self.momentum) * ra_mean.value +
+                         self.momentum * mean)
+        ra_var.value = ((1 - self.momentum) * ra_var.value +
+                        self.momentum * unbiased)
+    else:
+      mean, var = ra_mean.value, ra_var.value
+
+    inv = jax.lax.rsqrt(var + self.eps) * scale
+    return ((x - mean) * inv + bias).astype(x.dtype)
+
+
+def conv_nd(x: jnp.ndarray, features: int, kernel: Sequence[int], *,
+            stride=1, pad=0, dilation=1, use_bias=False, name: str,
+            kernel_init=None) -> jnp.ndarray:
+  """torch ``nn.Conv2d/3d`` on NHWC/NDHWC. ``name`` is the torch path
+  segment (e.g. ``"0"`` inside a Sequential)."""
+  nd = len(kernel)
+  stride = (stride,) * nd if isinstance(stride, int) else tuple(stride)
+  pad = (pad,) * nd if isinstance(pad, int) else tuple(pad)
+  dilation = (dilation,) * nd if isinstance(dilation, int) else tuple(dilation)
+  return nn.Conv(features, tuple(kernel), strides=stride,
+                 padding=[(p, p) for p in pad], kernel_dilation=dilation,
+                 use_bias=use_bias,
+                 kernel_init=kernel_init or msra_normal_init(),
+                 bias_init=nn.initializers.zeros,
+                 precision=PRECISION, name=name)(x)
+
+
+class ConvTranspose(nn.Module):
+  """``nn.ConvTranspose{2,3}d(kernel, stride, padding, output_padding)``:
+  input-dilated conv with a spatially flipped kernel and per-side padding
+  ``(k-1-p, k-1-p+op)``. Param ``kernel_t`` is stored as (*K, O, I)."""
+  features: int
+  kernel: Sequence[int]
+  stride: int = 2
+  padding: int = 0
+  output_padding: int = 0
+  use_bias: bool = False
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    nd = len(self.kernel)
+    cin = x.shape[-1]
+    w = self.param("kernel_t", _transpose_init(),
+                   (*self.kernel, self.features, cin))
+    w_flipped = jnp.flip(w, axis=tuple(range(nd)))
+    w_io = jnp.swapaxes(w_flipped, -1, -2)                # (*K, I, O)
+    pad = [(k - 1 - self.padding, k - 1 - self.padding + self.output_padding)
+           for k in self.kernel]
+    spatial = "DHW"[3 - nd:]
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w_io.shape,
+        (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+    y = jax.lax.conv_general_dilated(
+        x, w_io.astype(x.dtype), window_strides=(1,) * nd, padding=pad,
+        lhs_dilation=(self.stride,) * nd, rhs_dilation=(1,) * nd,
+        dimension_numbers=dn, precision=PRECISION)
+    if self.use_bias:
+      fan_in = self.features * int(np.prod(self.kernel))
+      bound = 1.0 / math.sqrt(fan_in)
+      b = self.param(
+          "bias",
+          lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+          (self.features,))
+      y = y + b.astype(y.dtype)
+    return y
+
+
+class SphereConvLayer(nn.Module):
+  """The reference ``SphereConv`` module (sphere_conv.py:120-246): holds the
+  weight; the sampling-position tables are static functions of the input
+  shape. Param named ``kernel`` so the ckpt converter treats it like a conv."""
+  features: int
+  kernel: int = 3
+  stride: int = 1
+  pad: int = 0
+  dilation: int = 1
+  sphere_type: str = "Cassini"
+  use_bias: bool = False
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    cin = x.shape[-1]
+    w = self.param("kernel", sphere_uniform_init(),
+                   (self.kernel, self.kernel, cin, self.features))
+    b = (self.param("bias", nn.initializers.zeros, (self.features,))
+         if self.use_bias else None)
+    return sphere_conv(x, w.astype(x.dtype), b,
+                       sphere_type=self.sphere_type, stride=self.stride,
+                       pad=self.pad, dilation=self.dilation,
+                       precision=PRECISION)
+
+
+# --------------------------------------------------------------------------
+# torch-path-named composites. Each helper takes ``prefix`` = its torch
+# attribute path inside the parent module, and emits children named
+# ``prefix.<i>`` exactly as torch's Sequential would.
+# --------------------------------------------------------------------------
+
+def convbn(x, train, features, kernel, stride, pad, dilation, prefix):
+  """``convbn`` (submodule.py:15-17) including the torch padding quirk
+  ``padding = dilation if dilation > 1 else pad``."""
+  eff_pad = dilation if dilation > 1 else pad
+  x = conv_nd(x, features, (kernel, kernel), stride=stride, pad=eff_pad,
+              dilation=dilation, name=f"{prefix}.0")
+  return TorchBatchNorm(name=f"{prefix}.1")(x, train)
+
+
+def convbn_3d(x, train, features, kernel, stride, pad, prefix):
+  """``convbn_3d`` (submodule.py:20-22) on NDHWC."""
+  x = conv_nd(x, features, (kernel,) * 3, stride=stride, pad=pad,
+              name=f"{prefix}.0")
+  return TorchBatchNorm(name=f"{prefix}.1")(x, train)
+
+
+def sphere_convbn(x, train, features, kernel, stride, pad, dilation,
+                  sphere_type, prefix):
+  """``sphereConvbn`` (submodule.py:61-74)."""
+  eff_pad = dilation if dilation > 1 else pad
+  x = SphereConvLayer(features, kernel, stride, eff_pad, dilation,
+                      sphere_type, name=f"{prefix}.0")(x)
+  return TorchBatchNorm(name=f"{prefix}.1")(x, train)
+
+
+def downsample_shortcut(x, train, features, stride, prefix):
+  """1x1 conv + BN shortcut used by residual blocks (submodule.py:165-174)."""
+  x = conv_nd(x, features, (1, 1), stride=stride, pad=0, name=f"{prefix}.0")
+  return TorchBatchNorm(name=f"{prefix}.1")(x, train)
+
+
+class BasicBlockNoRelu(nn.Module):
+  """PSMNet ``BasicBlock`` (submodule.py:25-47): no ReLU after the add."""
+  features: int
+  stride: int = 1
+  pad: int = 1
+  dilation: int = 1
+  has_downsample: bool = False
+
+  @nn.compact
+  def __call__(self, x, train: bool):
+    out = convbn(x, train, self.features, 3, self.stride, self.pad,
+                 self.dilation, "conv1.0")
+    out = nn.relu(out)
+    out = convbn(out, train, self.features, 3, 1, self.pad, self.dilation,
+                 "conv2")
+    if self.has_downsample:
+      x = downsample_shortcut(x, train, self.features, self.stride,
+                              "downsample")
+    return out + x
+
+
+class RegularBasicBlock(nn.Module):
+  """``RegularBasicBlock`` (submodule.py:94-119): ReLU after the add."""
+  features: int
+  stride: int = 1
+  pad: int = 1
+  dilation: int = 1
+  has_downsample: bool = False
+
+  @nn.compact
+  def __call__(self, x, train: bool):
+    out = convbn(x, train, self.features, 3, self.stride, self.pad,
+                 self.dilation, "conv1.0")
+    out = nn.relu(out)
+    out = convbn(out, train, self.features, 3, 1, self.pad, self.dilation,
+                 "conv2")
+    if self.has_downsample:
+      x = downsample_shortcut(x, train, self.features, self.stride,
+                              "downsample")
+    return nn.relu(out + x)
+
+
+class SphereBasicBlock(nn.Module):
+  """``SphereBasicBlock`` (submodule.py:122-147)."""
+  features: int
+  stride: int = 1
+  pad: int = 1
+  dilation: int = 1
+  sphere_type: str = "Cassini"
+  has_downsample: bool = False
+
+  @nn.compact
+  def __call__(self, x, train: bool):
+    out = sphere_convbn(x, train, self.features, 3, self.stride, self.pad,
+                        self.dilation, self.sphere_type, "conv1.0")
+    out = nn.relu(out)
+    out = sphere_convbn(out, train, self.features, 3, 1, self.pad,
+                        self.dilation, self.sphere_type, "conv2")
+    if self.has_downsample:
+      x = downsample_shortcut(x, train, self.features, self.stride,
+                              "downsample")
+    return nn.relu(out + x)
+
+
+class FusionBasicBlock(nn.Module):
+  """The fusion model's ``BasicBlock`` (mode_fusion.py:17-32): two
+  convbn+ReLU stages, NO residual add (its ``downsample`` is constructed but
+  unused in forward — we don't create those dead params)."""
+  features: int
+  stride: int = 1
+  pad: int = 1
+  dilation: int = 1
+
+  @nn.compact
+  def __call__(self, x, train: bool):
+    out = convbn(x, train, self.features, 3, self.stride, self.pad,
+                 self.dilation, "conv1.0")
+    out = nn.relu(out)
+    out = convbn(out, train, self.features, 3, 1, self.pad, self.dilation,
+                 "conv2.0")
+    return nn.relu(out)

@@ -1,0 +1,227 @@
+"""MODE stage-1: omnidirectional stereo matching (disparity estimation).
+
+TPU-native re-design of ``ModeDisparity``
+(``/root/reference/models/mode_disparity.py``) and its feature extractors
+(``submodule.py:151-267``): PSMNet-style shared feature extraction, 4-D cost
+volume by concat-shift, three stacked 3-D hourglasses with additive deep
+supervision, trilinear upsample (align_corners), softmax → soft-argmin, and
+an optional confidence map.
+
+Layout: NHWC images, NDHWC cost volumes (channel-minor = TPU lanes). Flax
+children are named with torch state_dict path segments so checkpoints convert
+mechanically (see ``models/blocks.py``).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mode_tpu.models.blocks import (
+    BasicBlockNoRelu,
+    ConvTranspose,
+    RegularBasicBlock,
+    SphereBasicBlock,
+    TorchBatchNorm,
+    conv_nd,
+    convbn,
+    convbn_3d,
+    sphere_convbn,
+)
+from mode_tpu.ops.cost_volume import build_cost_volume
+from mode_tpu.ops.resize import upsample_bilinear, upsample_trilinear
+
+
+class SphereFeatureExtraction(nn.Module):
+  """``sphere_feature_extraction`` (submodule.py:151-201): stride-2 7x7 stem,
+  three regular residual stages (dilation 2 in stage 3), a stage of 8
+  spherical residual blocks, concat(64+64+128) → 32-channel output at 1/4
+  resolution."""
+  sphere_type: str = "Cassini"
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    for i, (feat, k, s, p) in enumerate([(32, 7, 2, 3), (32, 3, 1, 1),
+                                         (32, 3, 1, 1)]):
+      x = nn.relu(convbn(x, train, feat, k, s, p, 1, f"firstconv.{2 * i}"))
+
+    def stage(x, block_cls, prefix, feats, blocks, stride, dilation,
+              **kw):
+      cin = x.shape[-1]
+      x = block_cls(feats, stride=stride, pad=1, dilation=dilation,
+                    has_downsample=(stride != 1 or cin != feats),
+                    name=f"{prefix}.0", **kw)(x, train)
+      for i in range(1, blocks):
+        x = block_cls(feats, stride=1, pad=1, dilation=dilation,
+                      name=f"{prefix}.{i}", **kw)(x, train)
+      return x
+
+    x = stage(x, RegularBasicBlock, "layer1", 64, 3, 1, 1)
+    out_raw = stage(x, RegularBasicBlock, "layer2", 64, 8, 2, 1)
+    out_reg = stage(out_raw, RegularBasicBlock, "layer3", 64, 4, 1, 2)
+    out_sph = stage(out_reg, SphereBasicBlock, "layer4", 128, 8, 1, 1,
+                    sphere_type=self.sphere_type)
+    feat = jnp.concatenate([out_raw, out_reg, out_sph], axis=-1)
+    for i, (f, k, p) in enumerate([(128, 1, 0), (128, 3, 1), (32, 1, 0)]):
+      feat = nn.relu(convbn(feat, train, f, k, 1, p, 1,
+                            f"lastconv.{2 * i}"))
+    return feat
+
+
+class PSMNetFeatureExtraction(nn.Module):
+  """The 'Regular' option: PSMNet SPP feature extraction
+  (submodule.py:205-267)."""
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    for i, (feat, k, s, p) in enumerate([(32, 3, 2, 1), (32, 3, 1, 1),
+                                         (32, 3, 1, 1)]):
+      x = nn.relu(convbn(x, train, feat, k, s, p, 1, f"firstconv.{2 * i}"))
+
+    def stage(x, prefix, feats, blocks, stride, dilation):
+      cin = x.shape[-1]
+      x = BasicBlockNoRelu(feats, stride=stride, pad=1, dilation=dilation,
+                           has_downsample=(stride != 1 or cin != feats),
+                           name=f"{prefix}.0")(x, train)
+      for i in range(1, blocks):
+        x = BasicBlockNoRelu(feats, stride=1, pad=1, dilation=dilation,
+                             name=f"{prefix}.{i}")(x, train)
+      return x
+
+    x = stage(x, "layer1", 32, 3, 1, 1)
+    out_raw = stage(x, "layer2", 64, 16, 2, 1)
+    x = stage(out_raw, "layer3", 128, 3, 1, 1)
+    out_skip = stage(x, "layer4", 128, 3, 1, 2)
+
+    h, w = out_skip.shape[1:3]
+    branches = []
+    for i, pool in enumerate([64, 32, 16, 8]):
+      b = nn.avg_pool(out_skip, (pool, pool), (pool, pool))
+      b = nn.relu(convbn(b, train, 32, 1, 1, 0, 1, f"branch{i + 1}.1"))
+      branches.append(upsample_bilinear(b, h, w))
+    feat = jnp.concatenate([out_raw, out_skip, branches[3], branches[2],
+                            branches[1], branches[0]], axis=-1)
+    feat = nn.relu(convbn(feat, train, 128, 3, 1, 1, 1, "lastconv.0"))
+    feat = conv_nd(feat, 32, (1, 1), stride=1, pad=0, name="lastconv.2")
+    return feat
+
+
+class Hourglass(nn.Module):
+  """3-D hourglass (mode_disparity.py:11-46) on NDHWC."""
+  inplanes: int
+
+  @nn.compact
+  def __call__(self, x, presqu, postsqu, train: bool):
+    p2 = self.inplanes * 2
+    out = nn.relu(convbn_3d(x, train, p2, 3, 2, 1, "conv1.0"))      # 1/8
+    pre = convbn_3d(out, train, p2, 3, 1, 1, "conv2")               # 1/8
+    pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
+
+    out = nn.relu(convbn_3d(pre, train, p2, 3, 2, 1, "conv3.0"))    # 1/16
+    out = nn.relu(convbn_3d(out, train, p2, 3, 1, 1, "conv4.0"))    # 1/16
+
+    up = ConvTranspose(p2, (3, 3, 3), stride=2, padding=1,
+                       output_padding=1, name="conv5.0")(out)
+    up = TorchBatchNorm(name="conv5.1")(up, train)
+    post = nn.relu(up + presqu) if presqu is not None else nn.relu(up + pre)
+
+    out = ConvTranspose(self.inplanes, (3, 3, 3), stride=2, padding=1,
+                        output_padding=1, name="conv6.0")(post)
+    out = TorchBatchNorm(name="conv6.1")(out, train)
+    return out, pre, post
+
+
+def disparity_regression(prob: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
+  """Soft-argmin (submodule.py:50-57): sum_d d * p(d). prob is (B, D, H, W)."""
+  disp = jnp.arange(maxdisp, dtype=prob.dtype)[None, :, None, None]
+  return jnp.sum(prob * disp, axis=1)
+
+
+def confidence_from_prob(prob: jnp.ndarray, pred: jnp.ndarray,
+                         maxdisp: int) -> jnp.ndarray:
+  """Confidence map = sum of prob at rounded-prediction ±1 depth slices.
+
+  The reference expresses this as three nearest-neighbour 3-D grid_samples
+  with border padding (mode_disparity.py:157-183); on integer-centred grids
+  that is exactly a clipped take_along_axis, which is what we do. ``prob`` is
+  (B, D, H, W), ``pred`` (B, H, W).
+  """
+  d0 = jnp.round(pred)
+  total = jnp.zeros_like(pred)
+  for delta in (-1.0, 0.0, 1.0):
+    # border padding clamps the (normalized) coordinate into range, and
+    # nearest-rounding happens on the *pixel* coordinate: round after clip.
+    coord = jnp.clip(d0 + delta, 0, maxdisp - 1)
+    idx = jnp.round(coord).astype(jnp.int32)[:, None]
+    total = total + jnp.take_along_axis(prob, idx, axis=1)[:, 0]
+  return total
+
+
+class ModeDisparity(nn.Module):
+  """Stage-1 network (mode_disparity.py:51-185).
+
+  ``__call__(left, right, train)`` with NHWC inputs. In training mode returns
+  ``(pred1, pred2, pred3)``; in eval mode returns ``pred3`` or
+  ``(pred3, conf)`` when ``out_conf``.
+  """
+  maxdisp: int = 192
+  conv: str = "Sphere"
+  sphere_type: str = "Cassini"
+  out_conf: bool = False
+
+  @nn.compact
+  def __call__(self, left: jnp.ndarray, right: jnp.ndarray, train: bool):
+    if self.conv == "Sphere":
+      fe = SphereFeatureExtraction(self.sphere_type,
+                                   name="feature_extraction")
+    elif self.conv == "Regular":
+      fe = PSMNetFeatureExtraction(name="feature_extraction")
+    else:
+      raise NotImplementedError(
+          "Convolution Type must be Regular or Sphere!")
+    ref_fea = fe(left, train)
+    tgt_fea = fe(right, train)          # same submodule → shared params
+
+    cost = build_cost_volume(ref_fea, tgt_fea, self.maxdisp // 4)
+
+    cost0 = nn.relu(convbn_3d(cost, train, 32, 3, 1, 1, "dres0.0"))
+    cost0 = nn.relu(convbn_3d(cost0, train, 32, 3, 1, 1, "dres0.2"))
+    d1 = nn.relu(convbn_3d(cost0, train, 32, 3, 1, 1, "dres1.0"))
+    d1 = convbn_3d(d1, train, 32, 3, 1, 1, "dres1.2")
+    cost0 = d1 + cost0
+
+    out1, pre1, post1 = Hourglass(32, name="dres2")(cost0, None, None, train)
+    out1 = out1 + cost0
+    out2, pre2, post2 = Hourglass(32, name="dres3")(out1, pre1, post1, train)
+    out2 = out2 + cost0
+    out3, pre3, post3 = Hourglass(32, name="dres4")(out2, pre1, post2, train)
+    out3 = out3 + cost0
+
+    def classif(x, prefix):
+      x = nn.relu(convbn_3d(x, train, 32, 3, 1, 1, f"{prefix}.0"))
+      return conv_nd(x, 1, (3, 3, 3), stride=1, pad=1, name=f"{prefix}.2")
+
+    cost1 = classif(out1, "classif1")
+    cost2 = classif(out2, "classif2") + cost1
+    cost3 = classif(out3, "classif3") + cost2
+
+    h, w = left.shape[1], left.shape[2]
+
+    def regress(cost):
+      up = upsample_trilinear(cost, self.maxdisp, h, w)[..., 0]  # (B,D,H,W)
+      prob = jax.nn.softmax(up, axis=1)
+      return prob, disparity_regression(prob, self.maxdisp)
+
+    if train:
+      _, pred1 = regress(cost1)
+      _, pred2 = regress(cost2)
+      _, pred3 = regress(cost3)
+      return pred1, pred2, pred3
+
+    prob3, pred3 = regress(cost3)
+    if self.out_conf:
+      conf = confidence_from_prob(prob3, pred3, self.maxdisp)
+      return pred3, conf
+    return pred3
