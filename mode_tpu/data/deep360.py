@@ -1,0 +1,123 @@
+"""Deep360 datasets (numpy, channel-minor).
+
+Parity targets: ``/root/reference/dataloader/deep360_loader.py`` —
+stage-1 items are (normalized left/right RGB, gt disparity, name); stage-2
+items are (gt name, 6 depth maps, 6 confidence maps, 4 RGB views, gt depth).
+The reference's random-crop branch is bit-rotted (undefined names,
+``deep360_loader.py:99-106``); here it is implemented as evidently intended
+(512-tall × 256-wide crops).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Sequence
+
+import numpy as np
+from PIL import Image
+
+from mode_tpu.data.preprocess import depth_to_tensor, rgb_to_tensor
+
+
+def load_rgb(path: str) -> Image.Image:
+  return Image.open(path).convert("RGB")
+
+
+def load_npz(path: str) -> np.ndarray:
+  return np.load(path)["arr_0"].astype(np.float32)
+
+
+def load_conf(path: str) -> np.ndarray:
+  """Confidence PNG: channel 0 / 255 (deep360_loader.py:27-29), HW1."""
+  img = np.asarray(Image.open(path))
+  if img.ndim == 3:
+    img = img[..., 0]
+  return (img[..., None] / 255.0).astype(np.float32)
+
+
+def _nearest_resize(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+  """cv2.INTER_NEAREST-compatible resize of a 2-D array."""
+  hs = (np.arange(h) * (arr.shape[0] / h)).astype(np.int64)
+  ws = (np.arange(w) * (arr.shape[1] / w)).astype(np.int64)
+  return arr[hs][:, ws]
+
+
+class Deep360DatasetDisparity:
+  """(deep360_loader.py:60-115)."""
+
+  def __init__(self, left_imgs: Sequence[str], right_imgs: Sequence[str],
+               disps: Sequence[str], shape=(1024, 512), crop: bool = False):
+    self.left_imgs = list(left_imgs)
+    self.right_imgs = list(right_imgs)
+    self.disps = list(disps)
+    self.height, self.width = shape
+    self.crop = crop
+
+  def __len__(self):
+    return len(self.disps)
+
+  def __getitem__(self, index: int) -> dict:
+    left = load_rgb(self.left_imgs[index])
+    right = load_rgb(self.right_imgs[index])
+    disp = load_npz(self.disps[index])
+    w, h = left.size
+    if w != self.width:
+      left = left.resize((self.width, self.height))
+      right = right.resize((self.width, self.height))
+      disp = _nearest_resize(disp, self.width, self.height) * (self.width / w)
+    left = rgb_to_tensor(left)
+    right = rgb_to_tensor(right)
+    if self.crop:
+      th, tw = 512, 256
+      hh, ww = disp.shape
+      x1 = random.randint(0, ww - tw)
+      y1 = random.randint(0, hh - th)
+      left = left[y1:y1 + th, x1:x1 + tw]
+      right = right[y1:y1 + th, x1:x1 + tw]
+      disp = disp[y1:y1 + th, x1:x1 + tw]
+    return {
+        "leftImg": left,
+        "rightImg": right,
+        "dispMap": np.ascontiguousarray(disp, np.float32),
+        "dispNames": self.disps[index],
+    }
+
+
+class Deep360DatasetFusion:
+  """(deep360_loader.py:118-168)."""
+
+  def __init__(self, depths, confs, rgbs, gt, resize: bool = False,
+               training: bool = False):
+    self.depths = depths      # [6][frame] paths
+    self.confs = confs        # [6][frame]
+    self.rgbs = rgbs          # [4][frame]
+    self.gt = list(gt)
+    self.resize = resize
+    self.training = training
+
+  def __len__(self):
+    return len(self.depths[0])
+
+  def __getitem__(self, index: int) -> dict:
+    depths = [depth_to_tensor(load_npz(d[index])) for d in self.depths]
+    confs = [load_conf(c[index]) for c in self.confs]
+    rgb_imgs = [load_rgb(r[index]) for r in self.rgbs]
+    gt = load_npz(self.gt[index])
+
+    if self.resize:
+      depths = [d[::2, ::2] for d in depths]
+      confs = [c[::2, ::2] for c in confs]
+      w, h = rgb_imgs[0].size
+      rgb_imgs = [r.resize((w // 2, h // 2)) for r in rgb_imgs]
+      if self.training:
+        gt = gt[::2, ::2]
+
+    rgbs = [rgb_to_tensor(r) for r in rgb_imgs]
+    return {
+        "gtNames": self.gt[index],
+        "depths": np.stack(depths),      # (6, H, W, 1)
+        "confs": np.stack(confs),        # (6, H, W, 1)
+        "rgbs": np.stack(rgbs),          # (4, H, W, 3)
+        "gt": np.ascontiguousarray(gt, np.float32),
+    }

@@ -31,6 +31,7 @@ from mode_tpu.models.blocks import (
     sphere_convbn,
 )
 from mode_tpu.ops.cost_volume import build_cost_volume
+from mode_tpu.parallel.mesh import constrain_spatial
 from mode_tpu.ops.resize import upsample_bilinear, upsample_trilinear
 
 
@@ -185,6 +186,9 @@ class ModeDisparity(nn.Module):
     tgt_fea = fe(right, train)          # same submodule → shared params
 
     cost = build_cost_volume(ref_fea, tgt_fea, self.maxdisp // 4)
+    # SPMD: shard the volume's H axis over the 'spatial' mesh axis (no-op on
+    # one chip). XLA inserts the 1-pixel halo exchanges for the 3-D convs.
+    cost = constrain_spatial(cost, h_axis=2)
 
     cost0 = nn.relu(convbn_3d(cost, train, 32, 3, 1, 1, "dres0.0"))
     cost0 = nn.relu(convbn_3d(cost0, train, 32, 3, 1, 1, "dres0.2"))

@@ -1,0 +1,108 @@
+"""Fused end-to-end two-stage inference pipeline.
+
+The reference pipelines its two stages *through the filesystem*: stage 1
+writes per-pair depth/confidence trees (``save_output_disparity_stage.py``)
+that stage 2 reads back. On TPU the whole frame — 6 stereo pairs through the
+disparity net, the disparity→depth bridge with its 6 per-pair SE(3)
+re-projections, and the fusion net — compiles into ONE XLA program with zero
+host round-trips. This is the benchmark path and the ``predict --stage all``
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mode_tpu.geometry.reprojection import (
+    DEEP360_BASELINES,
+    DEEP360_PAIR_TRANSFORMS,
+    cassini_disp_to_depth,
+    depth_view_transform_with_conf,
+)
+from mode_tpu.geometry.projection import rotate_cassini
+from mode_tpu.models.disparity import ModeDisparity
+from mode_tpu.models.fusion import ModeFusion
+
+CAM_PAIRS = ("12", "13", "14", "23", "24", "34")
+
+
+def bridge_all_pairs(disps: jnp.ndarray, confs: jnp.ndarray
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+  """Map 6 per-pair disparities+confidences to camera-1-frame depth maps.
+
+  Args: ``disps``/``confs`` of shape (6, H, W), pair order 12..34.
+  Returns: (6, H, W) depths and confidences at camera 1.
+  (Parity: ``save_output_disparity_stage.py:105-160``.)
+  """
+  out_d, out_c = [], []
+  for k, pair in enumerate(CAM_PAIRS):
+    depth_l = cassini_disp_to_depth(disps[k], DEEP360_BASELINES[pair])
+    kind, params = DEEP360_PAIR_TRANSFORMS[pair]
+    if kind == "identity":
+      d, c = depth_l, confs[k]
+    elif kind == "rot":
+      both = jnp.stack([depth_l, confs[k]], axis=-1)[None]
+      rot = rotate_cassini(both, *params)[0]
+      d, c = rot[..., 0], rot[..., 1]
+    else:
+      y0, z0, x0, pitch, yaw, roll = params
+      d, c = depth_view_transform_with_conf(depth_l, confs[k], y0, z0, x0,
+                                            pitch, yaw, roll)
+    out_d.append(d)
+    out_c.append(c)
+  return jnp.stack(out_d), jnp.stack(out_c)
+
+
+class TwoStagePipeline:
+  """Whole-frame 360° depth: 12 RGB inputs → fused depth map, one XLA program.
+
+  Args:
+    disp_variables / fusion_variables: flax variable trees.
+    maxdisp / max_depth: model constants (192 / 1000 for Deep360).
+    dtype: activation dtype for the disparity net (bfloat16 for speed).
+  """
+
+  def __init__(self, disp_variables: Any, fusion_variables: Any,
+               maxdisp: int = 192, max_depth: float = 1000.0,
+               dtype=jnp.float32, stage1_chunk: int = 6):
+    self.disp_model = ModeDisparity(maxdisp=maxdisp, out_conf=True)
+    self.fusion_model = ModeFusion(max_depth=max_depth)
+    self.disp_variables = disp_variables
+    self.fusion_variables = fusion_variables
+    self.dtype = dtype
+    self.stage1_chunk = stage1_chunk
+
+    @jax.jit
+    def run_frame(disp_vars, fusion_vars, lefts, rights, rgbs):
+      # lefts/rights: (6, H, W, 3) normalized pairs; rgbs: (4, H, W, 3)
+      preds, confs = [], []
+      for i in range(0, 6, self.stage1_chunk):
+        p, c = self.disp_model.apply(
+            disp_vars, lefts[i:i + self.stage1_chunk].astype(self.dtype),
+            rights[i:i + self.stage1_chunk].astype(self.dtype), train=False)
+        preds.append(p.astype(jnp.float32))
+        confs.append(c.astype(jnp.float32))
+      disp = jnp.concatenate(preds, 0)
+      conf = jnp.concatenate(confs, 0)
+      depths, confs1 = bridge_all_pairs(disp, conf)
+      out = self.fusion_model.apply(
+          fusion_vars,
+          [depths[k][None, :, :, None] for k in range(6)],
+          [confs1[k][None, :, :, None] for k in range(6)],
+          [rgbs[k][None] for k in range(4)],
+          train=False)
+      return out[0, :, :, 0], disp, conf
+
+    self._run = run_frame
+
+  def __call__(self, lefts: np.ndarray, rights: np.ndarray,
+               rgbs: np.ndarray):
+    """Returns (fused_depth (H, W), disparities (6, H, W), confs (6, H, W))."""
+    return self._run(self.disp_variables, self.fusion_variables,
+                     jnp.asarray(lefts), jnp.asarray(rights),
+                     jnp.asarray(rgbs))

@@ -1,0 +1,136 @@
+"""Jitted SPMD train/eval steps for both stages.
+
+Replaces the reference's per-batch Python loops + DataParallel
+(``/root/reference/train_disparity.py:147-163``, ``train_fusion.py:90-116``)
+with single compiled steps over a device mesh: the whole update — forward,
+loss, backward, Adam, batch-stat update — is one XLA program; gradients
+all-reduce over ICI automatically from the batch sharding.
+
+Optimizer parity: Adam(lr, betas=(0.9, 0.999), eps=1e-8) with the
+reference's schedules — stage 1 lr=1e-3 ×0.1 after epoch ``start_decay``=45
+(``train_disparity.py:138-143``), stage 2 constant lr
+(``train_fusion.py:152-155``; its Adam is *created* with 1e-3 but every
+epoch resets param groups to ``args.lr``=1e-4 before any step, so the
+effective lr is args.lr). Learning rate is injected as a state field so
+epoch changes don't retrigger compilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from mode_tpu.parallel import mesh as pmesh
+from mode_tpu.utils.losses import disparity_deep_supervision, silog_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+  params: Any
+  batch_stats: Any
+  opt_state: Any
+  step: jnp.ndarray
+
+
+def make_optimizer() -> optax.GradientTransformation:
+  """Adam with an injected learning rate (torch defaults)."""
+  return optax.inject_hyperparams(optax.adam)(
+      learning_rate=1e-3, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+  opt_state = state.opt_state
+  opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+  return state.replace(opt_state=opt_state)
+
+
+def init_state(model, optimizer, rng, *example_args, **example_kw
+               ) -> TrainState:
+  variables = model.init(rng, *example_args, **example_kw)
+  params = variables["params"]
+  batch_stats = variables.get("batch_stats", {})
+  return TrainState(params=params, batch_stats=batch_stats,
+                    opt_state=optimizer.init(params),
+                    step=jnp.zeros((), jnp.int32))
+
+
+def make_disparity_train_step(model, optimizer,
+                              mesh: Optional[Any] = None) -> Callable:
+  """One stage-1 update: deep-supervision smooth-L1 on ~isnan(gt) mask
+  (train_disparity.py:195)."""
+
+  def step(state: TrainState, left, right, disp_gt):
+    mask = ~jnp.isnan(disp_gt)
+    gt = jnp.where(mask, disp_gt, 0.0)
+
+    def loss_fn(params):
+      (p1, p2, p3), mut = model.apply(
+          {"params": params, "batch_stats": state.batch_stats},
+          left, right, train=True, mutable=["batch_stats"])
+      loss = disparity_deep_supervision((p1, p2, p3), gt, mask)
+      return loss, mut["batch_stats"]
+
+    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    return state.replace(params=params, batch_stats=new_stats,
+                         opt_state=opt_state, step=state.step + 1), loss
+
+  return _jit_with_mesh(step, mesh)
+
+
+def make_fusion_train_step(model, optimizer, max_depth: float,
+                           mesh: Optional[Any] = None) -> Callable:
+  """One stage-2 update: silog(λ=0.5) on gt<=max_depth
+  (train_fusion.py:100-112)."""
+
+  def step(state: TrainState, depths, confs, rgbs, gt):
+    mask = gt <= max_depth
+
+    def loss_fn(params):
+      out, mut = model.apply(
+          {"params": params, "batch_stats": state.batch_stats},
+          list(depths), list(confs), list(rgbs), train=True,
+          mutable=["batch_stats"])
+      loss = silog_loss(0.5, out[..., 0], gt, mask)
+      return loss, mut["batch_stats"]
+
+    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    return state.replace(params=params, batch_stats=new_stats,
+                         opt_state=opt_state, step=state.step + 1), loss
+
+  return _jit_with_mesh(step, mesh)
+
+
+def _jit_with_mesh(step_fn, mesh):
+  """jit the step; with a mesh, run it inside the mesh context so in-model
+  sharding constraints resolve, and donate the state."""
+  jitted = jax.jit(step_fn, donate_argnums=(0,))
+  if mesh is None:
+    return jitted
+
+  @functools.wraps(step_fn)
+  def wrapped(state, *args):
+    with mesh, pmesh.activate(mesh):
+      return jitted(state, *args)
+
+  return wrapped
+
+
+def shard_batch(mesh, tree):
+  """Device-put a host batch with the leading axis sharded over 'data'."""
+  if mesh is None:
+    return jax.device_put(tree)
+  return jax.tree_util.tree_map(
+      lambda x: jax.device_put(x, pmesh.batch_sharding(mesh, x.ndim)), tree)
