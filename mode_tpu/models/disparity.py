@@ -215,7 +215,9 @@ class ModeDisparity(nn.Module):
 
     def regress(cost):
       up = upsample_trilinear(cost, self.maxdisp, h, w)[..., 0]  # (B,D,H,W)
-      prob = jax.nn.softmax(up, axis=1)
+      # softmax + soft-argmin in f32 regardless of activation dtype: bf16
+      # probabilities would quantize the 192-level regression by ~0.5 px
+      prob = jax.nn.softmax(up.astype(jnp.float32), axis=1)
       return prob, disparity_regression(prob, self.maxdisp)
 
     if train:

@@ -92,7 +92,9 @@ class FeatureExtractionFusion(nn.Module):
                 "depth_layer7")
     d7 = conv_nd(d7, 1, (1, 1), stride=1, pad=0, use_bias=True,
                  name="depth_layer7.2")
-    return jax.nn.sigmoid(d7) * self.max_depth
+    # sigmoid × max_depth in f32: a bfloat16 depth at 1000 m quantizes to
+    # ~4 m steps
+    return jax.nn.sigmoid(d7.astype(jnp.float32)) * self.max_depth
 
 
 class ModeFusion(nn.Module):
@@ -133,4 +135,4 @@ class Baseline(nn.Module):
     x = _layer(x, train, 32, 2, "feature_extraction.layer7")
     x = conv_nd(x, 1, (1, 1), stride=1, pad=0, use_bias=True,
                 name="feature_extraction.layer7.2")
-    return jax.nn.sigmoid(x) * self.max_depth
+    return jax.nn.sigmoid(x.astype(jnp.float32)) * self.max_depth

@@ -192,19 +192,11 @@ def sphere_im2col(x: jnp.ndarray, idx: jnp.ndarray,
   return col.transpose(0, 2, 3, 1, 4)          # (N, Ho, Wo, K, C)
 
 
-def sphere_conv(x: jnp.ndarray, weight: jnp.ndarray,
-                bias: jnp.ndarray | None, *, sphere_type: str = "Cassini",
-                stride: int = 1, pad: int = 1, dilation: int = 1,
-                precision=None) -> jnp.ndarray:
-  """Spherical convolution, XLA path.
-
-  Args:
-    x: ``(N, H, W, Cin)``.
-    weight: ``(Kh, Kw, Cin, Cout)`` (HWIO — flax/lax convention; the torch
-      checkpoint converter transposes from OIHW).
-  Returns:
-    ``(N, Ho, Wo, Cout)``.
-  """
+def sphere_conv_xla(x: jnp.ndarray, weight: jnp.ndarray, *,
+                    sphere_type: str = "Cassini", stride: int = 1,
+                    pad: int = 1, dilation: int = 1,
+                    precision=None) -> jnp.ndarray:
+  """Spherical convolution, XLA gather+GEMM path (reference semantics)."""
   _, h, w, cin = x.shape
   kh, kw, wcin, cout = weight.shape
   assert wcin == cin, (wcin, cin)
@@ -214,9 +206,91 @@ def sphere_conv(x: jnp.ndarray, weight: jnp.ndarray,
   wgt = jnp.asarray(wgt_np)
   col = sphere_im2col(x, idx, wgt)             # (N, Ho, Wo, K, Cin)
   wmat = weight.reshape(kh * kw, cin, cout)
-  out = jnp.einsum("nhwkc,kco->nhwo", col, wmat,
-                   preferred_element_type=jnp.float32,
-                   precision=precision).astype(x.dtype)
+  return jnp.einsum("nhwkc,kco->nhwo", col, wmat,
+                    preferred_element_type=jnp.float32,
+                    precision=precision).astype(x.dtype)
+
+
+# --- Pallas fast-path dispatch ---------------------------------------------
+# "auto": Pallas forward on TPU for the production config (Cassini, stride 1,
+# dense, square odd kernel); XLA backward via custom_vjp (gather transpose).
+_PALLAS_MODE = "auto"   # "auto" | "on" | "off"
+
+
+def set_pallas_mode(mode: str):
+  """Force ('on'), forbid ('off'), or auto-select ('auto') the Pallas path."""
+  global _PALLAS_MODE
+  assert mode in ("auto", "on", "off")
+  _PALLAS_MODE = mode
+
+
+def _pallas_eligible(x, kh, kw, sphere_type, stride, pad, dilation) -> bool:
+  if _PALLAS_MODE == "off":
+    return False
+  n, h, w, cin = x.shape
+  if (sphere_type != "Cassini" or stride != 1 or dilation != 1 or
+      kh != kw or kh % 2 == 0 or h != 2 * w or w % 8 != 0):
+    return False
+  if conv_output_size(h, kh, stride, pad, dilation) != h:
+    return False
+  if _PALLAS_MODE == "on":
+    return True
+  try:
+    platform = jax.devices()[0].platform
+  except RuntimeError:
+    return False
+  if platform not in ("tpu", "axon"):
+    return False
+  # whole feature map must fit VMEM alongside the im2col scratch
+  itemsize = jnp.dtype(x.dtype).itemsize
+  vmem = (h * w * cin + 8 * h * kh * kw * cin) * itemsize
+  return vmem < 12 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sphere_conv_fast(x, weight, static):
+  from mode_tpu.ops.pallas.sphere_conv_kernel import sphere_conv_cassini_pallas
+  return sphere_conv_cassini_pallas(x, weight)
+
+
+def _fast_fwd(x, weight, static):
+  return _sphere_conv_fast(x, weight, static), (x, weight)
+
+
+def _fast_bwd(static, res, g):
+  x, weight = res
+  sphere_type, stride, pad, dilation, precision = static
+  _, vjp = jax.vjp(
+      lambda xx, ww: sphere_conv_xla(xx, ww, sphere_type=sphere_type,
+                                     stride=stride, pad=pad,
+                                     dilation=dilation, precision=precision),
+      x, weight)
+  return vjp(g)
+
+
+_sphere_conv_fast.defvjp(_fast_fwd, _fast_bwd)
+
+
+def sphere_conv(x: jnp.ndarray, weight: jnp.ndarray,
+                bias: jnp.ndarray | None, *, sphere_type: str = "Cassini",
+                stride: int = 1, pad: int = 1, dilation: int = 1,
+                precision=None) -> jnp.ndarray:
+  """Spherical convolution (dispatching XLA / Pallas paths).
+
+  Args:
+    x: ``(N, H, W, Cin)``.
+    weight: ``(Kh, Kw, Cin, Cout)`` (HWIO — flax/lax convention; the torch
+      checkpoint converter transposes from OIHW).
+  Returns:
+    ``(N, Ho, Wo, Cout)``.
+  """
+  kh, kw = weight.shape[0], weight.shape[1]
+  if _pallas_eligible(x, kh, kw, sphere_type, stride, pad, dilation):
+    out = _sphere_conv_fast(x, weight,
+                            (sphere_type, stride, pad, dilation, precision))
+  else:
+    out = sphere_conv_xla(x, weight, sphere_type=sphere_type, stride=stride,
+                          pad=pad, dilation=dilation, precision=precision)
   if bias is not None:
     out = out + bias
   return out

@@ -30,6 +30,28 @@ from mode_tpu.models.fusion import ModeFusion
 
 CAM_PAIRS = ("12", "13", "14", "23", "24", "34")
 
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def cast_conv_params(variables, dtype):
+  """Cast conv kernels (params named kernel/kernel_t) to ``dtype``; BN
+  scale/bias/statistics stay float32 (normalization runs in f32 and casts
+  back to the activation dtype)."""
+  def f(path, leaf):
+    if path[-1].key in ("kernel", "kernel_t"):
+      return leaf.astype(dtype)
+    return leaf
+  return jax.tree_util.tree_map_with_path(f, variables)
+
+
+def normalize_uint8(imgs: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+  """On-device ImageNet normalization of uint8 HWC images — the host sends
+  4x fewer bytes than pre-normalized float32."""
+  x = imgs.astype(jnp.float32) / 255.0
+  x = (x - IMAGENET_MEAN) / IMAGENET_STD
+  return x.astype(dtype)
+
 
 def bridge_all_pairs(disps: jnp.ndarray, confs: jnp.ndarray
                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -69,17 +91,26 @@ class TwoStagePipeline:
 
   def __init__(self, disp_variables: Any, fusion_variables: Any,
                maxdisp: int = 192, max_depth: float = 1000.0,
-               dtype=jnp.float32, stage1_chunk: int = 6):
+               dtype=jnp.float32, stage1_chunk: int = 6,
+               uint8_inputs: bool = False):
     self.disp_model = ModeDisparity(maxdisp=maxdisp, out_conf=True)
     self.fusion_model = ModeFusion(max_depth=max_depth)
+    if dtype == jnp.bfloat16:
+      disp_variables = cast_conv_params(disp_variables, dtype)
     self.disp_variables = disp_variables
     self.fusion_variables = fusion_variables
     self.dtype = dtype
     self.stage1_chunk = stage1_chunk
+    self.uint8_inputs = uint8_inputs
 
     @jax.jit
     def run_frame(disp_vars, fusion_vars, lefts, rights, rgbs):
-      # lefts/rights: (6, H, W, 3) normalized pairs; rgbs: (4, H, W, 3)
+      # lefts/rights: (6, H, W, 3) pairs; rgbs: (4, H, W, 3). With
+      # uint8_inputs, raw uint8 images normalized on-device.
+      if self.uint8_inputs:
+        lefts = normalize_uint8(lefts, self.dtype)
+        rights = normalize_uint8(rights, self.dtype)
+        rgbs = normalize_uint8(rgbs, jnp.float32)
       preds, confs = [], []
       for i in range(0, 6, self.stage1_chunk):
         p, c = self.disp_model.apply(
