@@ -11,21 +11,25 @@ tap k is
     columns of j.
 
 So instead of a 4-corner gather per pixel (the XLA path lowers to slow TPU
-gathers), the kernel works in a column-major (N, W, H, C) layout where each
-input column is an (H, C) tile (H on sublanes, C on lanes):
+gathers), the kernel works in a *lane-major* (N, W, C, H) layout — each
+input column is a (C, H) tile with the panorama's H=256 axis on lanes, so
+every vreg is fully utilized and the circular shifts are lane rotates:
 
-  1. mix the two integer column neighbours with their bilinear weights
+  1. per grid step, DMA only the block's column band (bj+4 columns,
+     ~0.4 MB) from HBM into VMEM — tap columns stay within ±2 of the
+     output column, so the image itself never occupies VMEM;
+  2. mix the two integer column neighbours with their bilinear weights
      (one VPU axpy; the dynamic column index is on an untiled major dim);
-  2. realize the fractional row shift as two dynamic circular rotates
-     (``pltpu.roll``) weighted (1-wr, wr); the CUDA kernel's un-wrapped seam
-     corner (continuous position H is dropped, not wrapped —
-     ``sphere_conv_cuda_kernel.cu:246``) is reproduced by zeroing the single
-     wrapped row of the σ+1 rotate;
-  3. accumulate the 9 taps into an (BJ·H, 9·C) im2col tile in VMEM and fire
-     ONE MXU GEMM against the flattened weights per column block.
-
-Latitude out-of-range corners carry zero weight in the precomputed tables
-(the poles), matching the zero-padding semantics of the XLA path.
+  3. realize the fractional row shift with the "premix" trick — blend each
+     source row with its successor once (STATIC lane rotate), then ONE
+     dynamic lane rotate (``pltpu.roll``) gives the bilinear row
+     interpolation; the CUDA kernel's un-wrapped seam (continuous position
+     H is dropped, not wrapped — ``sphere_conv_cuda_kernel.cu:246``) is the
+     static source row H-1 whose wrapped successor must not contribute,
+     plus per-(j,k) rows where the f32 position table rounds to exactly H
+     (whole-sample drop);
+  4. accumulate the 9 taps into a (9·C, BJ·H) im2col tile and fire ONE MXU
+     GEMM against the flattened weights per column block.
 """
 
 from __future__ import annotations
@@ -53,19 +57,13 @@ def build_shift_tables(h: int, w: int, k: int
     col_tab  f32   (W, K, 4) — [c0, c1, w_c0, w_c1] column pair + weights
                                (weights zeroed for out-of-range columns)
     drop_row int32 (W, K)    — output row whose ENTIRE sample is dropped,
-                               or -1. The float32 position table can round
-                               to exactly H at the wrap row (e.g. 63.99999…
-                               → 64.0), and the CUDA bounds gate then
-                               rejects the whole sample
-                               (sphere_conv_cuda_kernel.cu:246) — a case the
-                               shift model cannot represent otherwise.
+                               or -1 (f32 table rounded to exactly H there).
   """
   pos = gen_sphere_positions(h, w, k, k, "Cassini")   # (K, H, W, 2)
   delta = pos[:, 0, :, 0].astype(np.float64)          # Δ mod H at i=0
   sigma = np.floor(delta).astype(np.int64) % h
   row_w = (delta - np.floor(delta)).astype(np.float32)
 
-  # scan the actual f32 table for rows whose position reaches exactly H
   at_h = pos[:, :, :, 0] >= h                         # (K, H, W)
   drop_row = np.where(at_h.any(axis=1), at_h.argmax(axis=1), -1)  # (K, W)
 
@@ -89,49 +87,49 @@ def build_shift_tables(h: int, w: int, k: int
 
 def _kernel(sigma_ref, colint_ref, wrow_ref, wcol_ref, drop_ref,  # prefetch
             x_ref, w_ref, o_ref,                          # tensors
-            col_ref, acc_ref,                             # scratch
-            *, h, cin, cout, kk, bj, cslot):
+            band_ref, col_ref, acc_ref, sem,              # scratch
+            *, h, cin, cout, kk, bj):
   i = pl.program_id(0)
   jb = pl.program_id(1)
 
-  # zero the im2col scratch once: padded slot lanes are never rewritten
-  @pl.when(jnp.logical_and(i == 0, jb == 0))
-  def _():
-    col_ref[:] = jnp.zeros_like(col_ref)
+  # DMA this block's column band (bj + 4 columns of the 2-padded image).
+  dma = pltpu.make_async_copy(
+      x_ref.at[i, pl.ds(jb * bj, bj + 4)], band_ref, sem)
+  dma.start()
 
-  rows = jax.lax.broadcasted_iota(jnp.int32, (h, cin), 0)
-  for jj in range(bj):                      # unrolled: bj is small
+  lanes = jax.lax.broadcasted_iota(jnp.int32, (cin, h), 1)
+  dma.wait()
+
+  def column(jj, _):
     j = jb * bj + jj
+    col0 = pl.multiple_of(jj * h, h)
+    base = jb * bj - 2                      # band-relative column offset
     for k in range(kk):                     # unrolled: 9 taps
-      c0 = colint_ref[j, 2 * k]
-      c1 = colint_ref[j, 2 * k + 1]
+      c0 = colint_ref[j, 2 * k] - base
+      c1 = colint_ref[j, 2 * k + 1] - base
       wc0 = wcol_ref[j, 2 * k]
       wc1 = wcol_ref[j, 2 * k + 1]
       sig = sigma_ref[j, k]
       wr = wrow_ref[j, k]
       drop = drop_ref[j, k]
 
-      colmix = (wc0 * x_ref[0, c0].astype(jnp.float32) +
-                wc1 * x_ref[0, c1].astype(jnp.float32))   # (H, C)
-      # "premix" trick: blend each source row with its successor ONCE
-      # (static roll), then ONE dynamic roll realizes the bilinear row
-      # interpolation:  roll(premix, H-σ)[i] =
-      #   (1-wr)·colmix[(i+σ) mod H] + wr·colmix[(i+σ+1) mod H].
-      # The CUDA seam (position exactly H is dropped, not wrapped —
-      # sphere_conv_cuda_kernel.cu:246) is the static source row H-1,
-      # whose wrapped successor (row 0) must not contribute.
-      nxt = pltpu.roll(colmix, h - 1, axis=0)
-      nxt = jnp.where(rows == h - 1, 0.0, nxt)
+      colmix = (wc0 * band_ref[c0].astype(jnp.float32) +
+                wc1 * band_ref[c1].astype(jnp.float32))   # (C, H)
+      nxt = pltpu.roll(colmix, h - 1, axis=1)             # static rotate
+      nxt = jnp.where(lanes == h - 1, 0.0, nxt)           # seam source row
       premix = (1.0 - wr) * colmix + wr * nxt
-      mix = pltpu.roll(premix, h - sig, axis=0)
-      # whole-sample drop where the f32 table rounded to exactly H
-      mix = jnp.where(rows == drop, 0.0, mix)
-      col_ref[pl.ds(jj * h, h), pl.ds(k * cslot, cin)] = mix.astype(
+      mix = pltpu.roll(premix, h - sig, axis=1)           # dynamic rotate
+      mix = jnp.where(lanes == drop, 0.0, mix)            # drop-at-H rows
+      col_ref[pl.ds(k * cin, cin), pl.ds(col0, h)] = mix.astype(
           col_ref.dtype)
+    return 0
 
-  acc_ref[:] = jnp.dot(col_ref[:], w_ref[:],
-                       preferred_element_type=jnp.float32)
-  o_ref[0] = acc_ref[:].reshape(bj, h, cout).astype(o_ref.dtype)
+  jax.lax.fori_loop(0, bj, column, 0)
+
+  acc_ref[:] = jnp.dot(w_ref[:], col_ref[:],
+                       preferred_element_type=jnp.float32)  # (Cout, BJ*H)
+  for jj in range(bj):
+    o_ref[0, jj] = acc_ref[:, jj * h:(jj + 1) * h].astype(o_ref.dtype)
 
 
 def sphere_conv_cassini_pallas(x: jnp.ndarray, weight: jnp.ndarray,
@@ -139,7 +137,8 @@ def sphere_conv_cassini_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   """Spherical conv forward, Pallas fast path.
 
   Args:
-    x: (N, H, W, C) Cassini feature map (H = 2W), float32 or bfloat16.
+    x: (N, H, W, C) Cassini feature map (H = 2W), float32 or bfloat16,
+       C a multiple of 8.
     weight: (Kh, Kw, Cin, Cout), square odd kernel, stride 1, dense output.
   Returns:
     (N, H, W, Cout) in x.dtype.
@@ -147,6 +146,7 @@ def sphere_conv_cassini_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   n, h, w, cin = x.shape
   kh, kw, wcin, cout = weight.shape
   assert kh == kw and wcin == cin and h == 2 * w
+  assert cin % 8 == 0, cin
   kk = kh * kw
   assert w % block_j == 0, (w, block_j)
 
@@ -156,45 +156,50 @@ def sphere_conv_cassini_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   wcol = np.stack([col_tab[..., 2], col_tab[..., 3]],
                   -1).reshape(w, 2 * kk).astype(np.float32)
 
-  x_whc = jnp.swapaxes(x, 1, 2)             # (N, W, H, C): column-major
+  # lane-major: (N, W+4, C, H), H on lanes; ±2-column pad for the bands
+  x_wch = jnp.transpose(x, (0, 2, 3, 1))
+  x_wch = jnp.pad(x_wch, ((0, 0), (2, 2), (0, 0), (0, 0)))
+  wmat_t = weight.reshape(kk * cin, cout).T.astype(x.dtype)  # (Cout, K*C)
 
-  # pad each tap's im2col slot to a lane-aligned width so the per-tap
-  # stores are full-tile (misaligned 64-lane stores cost masked RMWs);
-  # the weight rows for the padding are zero.
-  cslot = max(128, cin) if cin % 128 else cin
   itemsize = jnp.dtype(x.dtype).itemsize
-  while (h * w * cin + block_j * h * kk * cslot) * itemsize > 13 * 2**20 \
-      and block_j > 4:
+
+  def vmem_bytes(bj):
+    return ((bj + 4) * cin * h * itemsize +         # column band
+            kk * cin * bj * h * itemsize +          # im2col scratch
+            4 * cout * bj * h +                     # f32 accumulator
+            3 * bj * cout * h * itemsize +          # output block x3
+            2 * cout * kk * cin * itemsize)         # weights x2
+
+  while vmem_bytes(block_j) > 11 * 2**20 and block_j > 2:
     block_j //= 2
-  wmat = jnp.zeros((kk, cslot, cout), x.dtype)
-  wmat = wmat.at[:, :cin].set(weight.reshape(kk, cin, cout).astype(x.dtype))
-  wmat = wmat.reshape(kk * cslot, cout)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=5,
       grid=(n, w // block_j),
       in_specs=[
-          pl.BlockSpec((1, w, h, cin), lambda i, j, *_: (i, 0, 0, 0)),
-          pl.BlockSpec((kk * cslot, cout), lambda i, j, *_: (0, 0)),
+          pl.BlockSpec(memory_space=pltpu.ANY),
+          pl.BlockSpec((cout, kk * cin), lambda i, j, *_: (0, 0)),
       ],
-      out_specs=pl.BlockSpec((1, block_j, h, cout),
+      out_specs=pl.BlockSpec((1, block_j, cout, h),
                              lambda i, j, *_: (i, j, 0, 0)),
       scratch_shapes=[
-          pltpu.VMEM((block_j * h, kk * cslot), x.dtype),
-          pltpu.VMEM((block_j * h, cout), jnp.float32),
+          pltpu.VMEM((block_j + 4, cin, h), x.dtype),
+          pltpu.VMEM((kk * cin, block_j * h), x.dtype),
+          pltpu.VMEM((cout, block_j * h), jnp.float32),
+          pltpu.SemaphoreType.DMA,
       ],
   )
 
   kernel = functools.partial(_kernel, h=h, cin=cin, cout=cout, kk=kk,
-                             bj=block_j, cslot=cslot)
+                             bj=block_j)
   flops = 2 * n * h * w * kk * cin * cout
-  out_whc = pl.pallas_call(
+  out_wch = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
-      out_shape=jax.ShapeDtypeStruct((n, w, h, cout), x.dtype),
+      out_shape=jax.ShapeDtypeStruct((n, w, cout, h), x.dtype),
       cost_estimate=pl.CostEstimate(
-          flops=flops, bytes_accessed=x.size * x.dtype.itemsize * kk,
+          flops=flops, bytes_accessed=x.size * itemsize * 2,
           transcendentals=0),
   )(jnp.asarray(sigma), jnp.asarray(colint), jnp.asarray(row_w),
-    jnp.asarray(wcol), jnp.asarray(drop_row), x_whc, wmat)
-  return jnp.swapaxes(out_whc, 1, 2)
+    jnp.asarray(wcol), jnp.asarray(drop_row), x_wch, wmat_t)
+  return jnp.transpose(out_wch, (0, 3, 1, 2))

@@ -241,10 +241,10 @@ def _pallas_eligible(x, kh, kw, sphere_type, stride, pad, dilation) -> bool:
     return False
   if platform not in ("tpu", "axon"):
     return False
-  # whole feature map must fit VMEM alongside the im2col scratch
+  # the kernel channel-splits and shrinks its column block to fit VMEM; the
+  # (double-buffered) image block of a <=64-channel split is the floor
   itemsize = jnp.dtype(x.dtype).itemsize
-  vmem = (h * w * cin + 8 * h * kh * kw * cin) * itemsize
-  return vmem < 12 * 1024 * 1024
+  return 2 * h * w * min(cin, 64) * itemsize <= 9 * 2**20
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
