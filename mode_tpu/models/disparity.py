@@ -134,6 +134,29 @@ class Hourglass(nn.Module):
     return out, pre, post
 
 
+_FUSED_REGRESSION = "auto"   # "auto" | "on" | "off"
+
+
+def set_fused_regression(mode: str):
+  """Force/forbid/auto-select the fused Pallas regression head (eval)."""
+  global _FUSED_REGRESSION
+  assert mode in ("auto", "on", "off")
+  _FUSED_REGRESSION = mode
+
+
+def _fused_regression_eligible(cost, maxdisp, h, w) -> bool:
+  if _FUSED_REGRESSION == "off":
+    return False
+  if h % 8 != 0 or w % 128 != 0 or cost.shape[1] > 128:
+    return False
+  if _FUSED_REGRESSION == "on":
+    return True
+  try:
+    return jax.devices()[0].platform in ("tpu", "axon")
+  except RuntimeError:
+    return False
+
+
 def disparity_regression(prob: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
   """Soft-argmin (submodule.py:50-57): sum_d d * p(d). prob is (B, D, H, W)."""
   disp = jnp.arange(maxdisp, dtype=prob.dtype)[None, :, None, None]
@@ -225,6 +248,15 @@ class ModeDisparity(nn.Module):
       _, pred2 = regress(cost2)
       _, pred3 = regress(cost3)
       return pred1, pred2, pred3
+
+    if _fused_regression_eligible(cost3, self.maxdisp, h, w):
+      from mode_tpu.ops.pallas.regression_kernel import (
+          fused_disparity_regression)
+      pred3, conf = fused_disparity_regression(cost3[..., 0], self.maxdisp,
+                                               h, w)
+      if self.out_conf:
+        return pred3, conf
+      return pred3
 
     prob3, pred3 = regress(cost3)
     if self.out_conf:
