@@ -27,7 +27,12 @@ from mode_tpu.utils.colormap import save_colormapped
 def build_parser():
   p = argparse.ArgumentParser(description="MODE Disparity testing (TPU)")
   p.add_argument("--model_disp", default="ModeDisparity")
-  p.add_argument("--dataset", default="Deep360")
+  p.add_argument("--dataset", default="Deep360",
+                 choices=["Deep360", "3D60"])
+  p.add_argument("--filenames_test", default=None,
+                 help="3D60: filenames .txt for the test split")
+  p.add_argument("--pair", default="lr", choices=["lr", "ud", "ur"])
+  p.add_argument("--max_depth_3d60", type=float, default=20.0)
   p.add_argument("--dataset_root", default="../../datasets/Deep360/")
   p.add_argument("--width", default=512, type=int)
   p.add_argument("--height", default=1024, type=int)
@@ -64,9 +69,17 @@ def main(argv=None):
   variables, _ = load_model_checkpoint(args.checkpoint_disp, variables)
   print(f"Number of model parameters: {count_params(variables['params'])}")
 
-  tl, tr, td = list_deep360_disparity_test(args.dataset_root,
-                                           soiled=args.soiled)
-  ds = Deep360DatasetDisparity(tl, tr, td, shape=(args.height, args.width))
+  if args.dataset == "Deep360":
+    tl, tr, td = list_deep360_disparity_test(args.dataset_root,
+                                             soiled=args.soiled)
+    ds = Deep360DatasetDisparity(tl, tr, td,
+                                 shape=(args.height, args.width))
+  else:
+    from mode_tpu.data.three_d60 import Dataset3D60Disparity
+    ds = Dataset3D60Disparity(args.filenames_test, args.dataset_root,
+                              "testing", shape=(args.height, args.width),
+                              pair=args.pair,
+                              max_depth=args.max_depth_3d60)
   loader = DataLoader(ds, batch_size=args.batch_size,
                       num_workers=args.batch_size)
   print(f"Testing of Disparity. Model: {args.checkpoint_disp}")
@@ -88,8 +101,9 @@ def main(argv=None):
     totals += np.array([float(m[k]) for k in names])
     n_batches += 1
     if save_out:
+      name_key = "dispNames" if args.dataset == "Deep360" else "leftNames"
       for i in range(pred.shape[0]):
-        name = _out_name(batch["dispNames"][i], args.dataset)
+        name = _out_name(batch[name_key][i], args.dataset)
         if args.save_ori:
           np.savez(os.path.join(args.save_output_path,
                                 name + "_pred.npz"),

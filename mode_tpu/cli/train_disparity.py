@@ -33,8 +33,16 @@ def build_parser():
   p = argparse.ArgumentParser(
       description="MODE Disparity estimation training (TPU)")
   p.add_argument("--model_disp", default="ModeDisparity")
-  p.add_argument("--dataset", default="Deep360")
+  p.add_argument("--dataset", default="Deep360",
+                 choices=["Deep360", "3D60"])
   p.add_argument("--dataset_root", default="../../datasets/Deep360/")
+  p.add_argument("--filenames_train", default=None,
+                 help="3D60: filenames .txt for the training split")
+  p.add_argument("--filenames_val", default=None,
+                 help="3D60: filenames .txt for the validation split")
+  p.add_argument("--pair", default="all", choices=["lr", "ud", "ur", "all"],
+                 help="3D60: stereo pair selection")
+  p.add_argument("--max_depth_3d60", type=float, default=20.0)
   p.add_argument("--width", default=512, type=int)
   p.add_argument("--height", default=1024, type=int)
   p.add_argument("--max_disp", type=int, default=192)
@@ -72,13 +80,24 @@ def main(argv=None):
   writer = SummaryWriter(os.path.join(save_root, "logs"))
 
   print(f"Preparing data. Dataset: <{args.dataset}>")
-  tl, tr, td, vl, vr, vd = list_deep360_disparity_train(
-      args.dataset_root, soiled=args.soiled)
-  train_ds = Deep360DatasetDisparity(tl, tr, td,
-                                     shape=(args.height, args.width),
-                                     crop=args.crop_disp)
-  val_ds = Deep360DatasetDisparity(vl, vr, vd,
-                                   shape=(args.height, args.width))
+  if args.dataset == "Deep360":
+    tl, tr, td, vl, vr, vd = list_deep360_disparity_train(
+        args.dataset_root, soiled=args.soiled)
+    train_ds = Deep360DatasetDisparity(tl, tr, td,
+                                       shape=(args.height, args.width),
+                                       crop=args.crop_disp)
+    val_ds = Deep360DatasetDisparity(vl, vr, vd,
+                                     shape=(args.height, args.width))
+  else:  # 3D60 (512x256 Cassini, sine-law gt disparity from depth)
+    from mode_tpu.data.three_d60 import Dataset3D60Disparity
+    train_ds = Dataset3D60Disparity(
+        args.filenames_train, args.dataset_root, "training",
+        shape=(args.height, args.width), crop=args.crop_disp,
+        pair=args.pair, max_depth=args.max_depth_3d60)
+    val_ds = Dataset3D60Disparity(
+        args.filenames_val, args.dataset_root, "validation",
+        shape=(args.height, args.width), pair="lr",
+        max_depth=args.max_depth_3d60)
   print(f"Num of training data:{len(train_ds)}. "
         f"Num of validation data:{len(val_ds)}")
   train_loader = DataLoader(train_ds, batch_size=args.batch_size,

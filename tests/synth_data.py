@@ -75,3 +75,48 @@ def make_fusion_inputs(input_root: str, dataset_root: str,
           Image.fromarray(conf).save(
               os.path.join(conf_path, f"{frame}_{pair}_conf_map.png"))
   return input_root
+
+
+def make_3d60_tree(root: str, n_frames: int = 2, erp_h: int = 32,
+                   erp_w: int = 64, seed: int = 3,
+                   with_fusion_inputs: bool = False,
+                   ca_shape=(32, 16)) -> str:
+  """Synthetic 3D60 trinocular tree + filenames txt (depth as .npz)."""
+  rng = np.random.default_rng(seed)
+  root = str(root)
+  lines = []
+  for view in ("Center_Left_Down", "Right", "Up"):
+    os.makedirs(os.path.join(root, view, "Matterport3D"), exist_ok=True)
+  for f in range(n_frames):
+    entry = []
+    for view in ("Center_Left_Down", "Right", "Up"):
+      img = rng.integers(0, 255, size=(erp_h, erp_w, 3), dtype=np.uint8)
+      rel = f"./Matterport3D/{f}_color_0.png"
+      Image.fromarray(img).save(os.path.join(root, view, rel[2:]))
+      entry.append(rel)
+    for view in ("Center_Left_Down", "Right", "Up"):
+      depth = rng.uniform(0.5, 15.0, size=(erp_h, erp_w)).astype(np.float32)
+      rel = f"./Matterport3D/{f}_depth_0.npz"
+      np.savez(os.path.join(root, view, rel[2:]), depth)
+      entry.append(rel)
+    lines.append(" ".join(entry))
+  list_file = os.path.join(root, "files.txt")
+  with open(list_file, "w") as fh:
+    fh.write("\n".join(lines) + "\n")
+
+  if with_fusion_inputs:
+    ca_h, ca_w = ca_shape
+    pred_dir = os.path.join(root, "pred", "Center_Left_Down",
+                            "disp_pred2depth", "Matterport3D")
+    conf_dir = os.path.join(root, "pred", "Center_Left_Down",
+                            "conf_map", "Matterport3D")
+    os.makedirs(pred_dir, exist_ok=True)
+    os.makedirs(conf_dir, exist_ok=True)
+    for f in range(n_frames):
+      for fid in ("lr_l", "lr_r", "ud_u", "ud_d", "ur_u", "ur_r"):
+        d = rng.uniform(0.5, 15.0, size=(ca_h, ca_w)).astype(np.float32)
+        np.savez(os.path.join(pred_dir, f"{f}_{fid}_disp_pred2depth.npz"), d)
+        conf = rng.integers(0, 255, size=(ca_h, ca_w), dtype=np.uint8)
+        Image.fromarray(conf).save(
+            os.path.join(conf_dir, f"{f}_{fid}_conf_map.png"))
+  return list_file
