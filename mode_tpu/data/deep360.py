@@ -57,6 +57,37 @@ class Deep360DatasetDisparity:
   def __len__(self):
     return len(self.disps)
 
+  def get_batch(self, indices, threads: int = 8):
+    """Native fast path: batched fused decode+normalize through libmodeio
+    (falls back to per-item Python when unavailable or when the items need
+    resizing/cropping)."""
+    from mode_tpu.data import native_io
+    if self.crop or not native_io.available():
+      return None
+    if not getattr(self, "_native_ok", None):
+      with Image.open(self.left_imgs[indices[0]]) as probe:
+        if probe.size != (self.width, self.height):
+          return None
+      self._native_ok = True
+    try:
+      lefts = native_io.decode_rgb_batch_normalized(
+          [self.left_imgs[i] for i in indices], self.height, self.width,
+          threads)
+      rights = native_io.decode_rgb_batch_normalized(
+          [self.right_imgs[i] for i in indices], self.height, self.width,
+          threads)
+      disps = native_io.read_npz_batch(
+          [self.disps[i] for i in indices], (self.height, self.width),
+          threads)
+    except IOError:
+      return None
+    return {
+        "leftImg": lefts,
+        "rightImg": rights,
+        "dispMap": disps,
+        "dispNames": [self.disps[i] for i in indices],
+    }
+
   def __getitem__(self, index: int) -> dict:
     left = load_rgb(self.left_imgs[index])
     right = load_rgb(self.right_imgs[index])

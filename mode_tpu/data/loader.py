@@ -77,12 +77,21 @@ class DataLoader:
     q: queue.Queue = queue.Queue(maxsize=self.prefetch)
     stop = threading.Event()
 
+    get_batch = getattr(self.dataset, "get_batch", None)
+
     def produce():
       with ThreadPoolExecutor(self.num_workers) as pool:
         try:
           for batch_idx in batches:
             if stop.is_set():
               return
+            if get_batch is not None:
+              batch = get_batch(batch_idx, self.num_workers)
+              if batch is None:     # dataset declined (fallback path)
+                items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                batch = self.collate(items)
+              q.put(batch)
+              continue
             items = list(pool.map(self.dataset.__getitem__, batch_idx))
             q.put(self.collate(items))
         except Exception as e:  # surface worker errors to the consumer

@@ -1,0 +1,80 @@
+"""Native IO runtime (libmodeio.so) vs PIL/numpy golden decodes."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mode_tpu.data import native_io
+from mode_tpu.data.preprocess import rgb_to_tensor
+
+pytestmark = pytest.mark.skipif(not native_io.available(),
+                                reason="libmodeio.so not built")
+
+
+def test_png_roundtrip(tmp_path, rng):
+  for ch, mode in [(3, "RGB"), (1, "L"), (4, "RGBA")]:
+    img = rng.integers(0, 255, size=(37, 53, ch), dtype=np.uint8)
+    pil = Image.fromarray(img[..., 0] if ch == 1 else img, mode=mode)
+    p = str(tmp_path / f"t{ch}.png")
+    pil.save(p)
+    got = native_io.decode_png(p)
+    want = np.asarray(Image.open(p))
+    if want.ndim == 2:
+      want = want[..., None]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_normalized_matches_python(tmp_path, rng):
+  paths = []
+  for i in range(5):
+    img = rng.integers(0, 255, size=(24, 16, 3), dtype=np.uint8)
+    p = str(tmp_path / f"b{i}.png")
+    Image.fromarray(img).save(p)
+    paths.append(p)
+  got = native_io.decode_rgb_batch_normalized(paths, 24, 16, threads=3)
+  for i, p in enumerate(paths):
+    want = rgb_to_tensor(Image.open(p).convert("RGB"))
+    np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-6)
+
+
+def test_npz_variants(tmp_path, rng):
+  a32 = rng.normal(size=(17, 9)).astype(np.float32)
+  p1 = str(tmp_path / "a.npz")
+  np.savez(p1, a32)                      # stored (no compression)
+  np.testing.assert_array_equal(native_io.read_npz(p1, a32.shape), a32)
+
+  p2 = str(tmp_path / "b.npz")
+  np.savez_compressed(p2, a32)           # deflate
+  np.testing.assert_array_equal(native_io.read_npz(p2, a32.shape), a32)
+
+  a64 = rng.normal(size=(8, 4)).astype(np.float64)
+  p3 = str(tmp_path / "c.npz")
+  np.savez(p3, a64)                      # f8 -> f32 cast
+  np.testing.assert_allclose(native_io.read_npz(p3, a64.shape),
+                             a64.astype(np.float32))
+
+  p4 = str(tmp_path / "d.npy")
+  np.save(p4, a32)                       # raw npy
+  np.testing.assert_array_equal(native_io.read_npz(p4, a32.shape), a32)
+
+
+def test_npz_batch(tmp_path, rng):
+  paths = []
+  arrs = []
+  for i in range(7):
+    a = rng.normal(size=(6, 5)).astype(np.float32)
+    p = str(tmp_path / f"n{i}.npz")
+    np.savez(p, a)
+    paths.append(p)
+    arrs.append(a)
+  got = native_io.read_npz_batch(paths, (6, 5), threads=4)
+  np.testing.assert_array_equal(got, np.stack(arrs))
+
+
+def test_error_paths(tmp_path):
+  with pytest.raises(IOError):
+    native_io.read_npz(str(tmp_path / "missing.npz"), (2, 2))
+  bad = tmp_path / "bad.png"
+  bad.write_bytes(b"not a png")
+  with pytest.raises(IOError):
+    native_io.decode_png(str(bad))
