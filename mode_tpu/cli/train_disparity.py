@@ -56,6 +56,12 @@ def build_parser():
   p.add_argument("--loadSHGonly", action="store_true")
   p.add_argument("--soiled", action="store_true")
   p.add_argument("--crop_disp", action="store_true")
+  p.add_argument("--init_type", default="default",
+                 choices=["default", "kaiming_normal", "xavier_normal",
+                          "kaiming_uniform", "xavier_uniform", "normal"],
+                 help="weight re-initialization menu (initModel.py:9-32)")
+  p.add_argument("--trace_dir", default=None,
+                 help="capture a jax profiler trace of the first epoch")
   p.add_argument("--seed", type=int, default=123)
   p.add_argument("--save_checkpoint_path", default="./checkpoints/disp/")
   # TPU parallelism (replaces the reference's --parallel DataParallel flag)
@@ -114,6 +120,13 @@ def main(argv=None):
   dummy = np.zeros((1, args.height, args.width, 3), np.float32)
   state = training.init_state(model, optimizer, rng, dummy, dummy,
                               train=False)
+  if args.init_type != "default":
+    from mode_tpu.models.initialize import init_model_params
+    variables = init_model_params(
+        {"params": state.params}, args.init_type,
+        jax.random.PRNGKey(args.seed + 1))
+    state = state.replace(params=variables["params"])
+    print(f"initialize model <{args.model_disp}> as type <{args.init_type}>")
   print(f"Number of model parameters: {count_params(state.params)}")
 
   start_epoch = 0
@@ -140,19 +153,22 @@ def main(argv=None):
           f"Current Learning Rate: {lr}")
     train_loader.set_epoch(epoch)
 
+    from mode_tpu.utils.profiling import trace
     total_loss, n_batches = 0.0, 0
-    for i, batch in enumerate(train_loader):
-      if args.steps_per_epoch and i >= args.steps_per_epoch:
-        break
-      b = training.shard_batch(mesh, {
-          "left": batch["leftImg"], "right": batch["rightImg"],
-          "disp": batch["dispMap"]})
-      state, loss = train_step(state, b["left"], b["right"], b["disp"])
-      loss = float(loss)
-      total_loss += loss
-      n_batches += 1
-      global_step += 1
-      writer.add_scalar("loss disp", loss, global_step)
+    maybe_trace = trace(args.trace_dir if epoch == start_epoch + 1 else None)
+    with maybe_trace:
+      for i, batch in enumerate(train_loader):
+        if args.steps_per_epoch and i >= args.steps_per_epoch:
+          break
+        b = training.shard_batch(mesh, {
+            "left": batch["leftImg"], "right": batch["rightImg"],
+            "disp": batch["dispMap"]})
+        state, loss = train_step(state, b["left"], b["right"], b["disp"])
+        loss = float(loss)
+        total_loss += loss
+        n_batches += 1
+        global_step += 1
+        writer.add_scalar("loss disp", loss, global_step)
     avg_loss = total_loss / max(n_batches, 1)
     writer.add_scalar("total disp train loss", avg_loss, epoch)
     print(f"epoch: {epoch}, avg train loss: {avg_loss}")

@@ -36,6 +36,12 @@ DEEP360_BASELINES = {
     "23": math.sqrt(2.0), "24": 1.0, "34": 1.0,
 }
 
+# The real fisheye rig's baselines (save_output_disparity_stage.py:113)
+FISHEYE_BASELINES = {
+    "12": 0.6 * math.sqrt(2.0), "13": 0.6 * math.sqrt(2.0), "14": 1.2,
+    "23": 1.2, "24": 0.6 * math.sqrt(2.0), "34": 0.6 * math.sqrt(2.0),
+}
+
 # Pair name -> SE(3) that carries the pair's reference view into camera 1's
 # frame: either a pure rotation of the panorama ("rot") or a full
 # translation+rotation re-projection ("trans") (save_output_disparity_stage.py:135-157).
