@@ -62,6 +62,9 @@ def build_parser():
                  help="weight re-initialization menu (initModel.py:9-32)")
   p.add_argument("--trace_dir", default=None,
                  help="capture a jax profiler trace of the first epoch")
+  p.add_argument("--bf16", action="store_true",
+                 help="mixed-precision training (bf16 activations, f32 "
+                      "master weights and loss)")
   p.add_argument("--seed", type=int, default=123)
   p.add_argument("--save_checkpoint_path", default="./checkpoints/disp/")
   # TPU parallelism (replaces the reference's --parallel DataParallel flag)
@@ -141,7 +144,10 @@ def main(argv=None):
     print(f"loaded checkpoint <{args.checkpoint_disp}> "
           f"(SHG-only={args.loadSHGonly}, resume from epoch {start_epoch})")
 
-  train_step = training.make_disparity_train_step(model, optimizer, mesh)
+  import jax.numpy as jnp
+  train_step = training.make_disparity_train_step(
+      model, optimizer, mesh,
+      compute_dtype=jnp.bfloat16 if args.bf16 else None)
   eval_fn = jax.jit(lambda v, l, r: model.apply(v, l, r, train=False))
 
   global_step = 0

@@ -194,17 +194,24 @@ class ModeDisparity(nn.Module):
   conv: str = "Sphere"
   sphere_type: str = "Cassini"
   out_conf: bool = False
+  remat: bool = True   # rematerialize FE/hourglasses/heads for training
+                       # (full-res training does not fit HBM otherwise)
 
   @nn.compact
   def __call__(self, left: jnp.ndarray, right: jnp.ndarray, train: bool):
+    use_remat = self.remat and train
     if self.conv == "Sphere":
-      fe = SphereFeatureExtraction(self.sphere_type,
-                                   name="feature_extraction")
+      fe_cls = SphereFeatureExtraction
+      fe_args = (self.sphere_type,)
     elif self.conv == "Regular":
-      fe = PSMNetFeatureExtraction(name="feature_extraction")
+      fe_cls = PSMNetFeatureExtraction
+      fe_args = ()
     else:
       raise NotImplementedError(
           "Convolution Type must be Regular or Sphere!")
+    if use_remat:
+      fe_cls = nn.remat(fe_cls, static_argnums=(2,))
+    fe = fe_cls(*fe_args, name="feature_extraction")
     ref_fea = fe(left, train)
     tgt_fea = fe(right, train)          # same submodule → shared params
 
@@ -219,11 +226,13 @@ class ModeDisparity(nn.Module):
     d1 = convbn_3d(d1, train, 32, 3, 1, 1, "dres1.2")
     cost0 = d1 + cost0
 
-    out1, pre1, post1 = Hourglass(32, name="dres2")(cost0, None, None, train)
+    hg_cls = nn.remat(Hourglass, static_argnums=(4,)) if use_remat \
+        else Hourglass
+    out1, pre1, post1 = hg_cls(32, name="dres2")(cost0, None, None, train)
     out1 = out1 + cost0
-    out2, pre2, post2 = Hourglass(32, name="dres3")(out1, pre1, post1, train)
+    out2, pre2, post2 = hg_cls(32, name="dres3")(out1, pre1, post1, train)
     out2 = out2 + cost0
-    out3, pre3, post3 = Hourglass(32, name="dres4")(out2, pre1, post2, train)
+    out3, pre3, post3 = hg_cls(32, name="dres4")(out2, pre1, post2, train)
     out3 = out3 + cost0
 
     def classif(x, prefix):
@@ -244,10 +253,10 @@ class ModeDisparity(nn.Module):
       return prob, disparity_regression(prob, self.maxdisp)
 
     if train:
-      _, pred1 = regress(cost1)
-      _, pred2 = regress(cost2)
-      _, pred3 = regress(cost3)
-      return pred1, pred2, pred3
+      # rematerialize the full-res softmax volumes (≈1.6 GB each in f32)
+      reg = (jax.checkpoint(lambda c: regress(c)[1]) if use_remat
+             else (lambda c: regress(c)[1]))
+      return reg(cost1), reg(cost2), reg(cost3)
 
     if _fused_regression_eligible(cost3, self.maxdisp, h, w):
       from mode_tpu.ops.pallas.regression_kernel import (

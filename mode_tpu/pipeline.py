@@ -34,15 +34,7 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def cast_conv_params(variables, dtype):
-  """Cast conv kernels (params named kernel/kernel_t) to ``dtype``; BN
-  scale/bias/statistics stay float32 (normalization runs in f32 and casts
-  back to the activation dtype)."""
-  def f(path, leaf):
-    if path[-1].key in ("kernel", "kernel_t"):
-      return leaf.astype(dtype)
-    return leaf
-  return jax.tree_util.tree_map_with_path(f, variables)
+from mode_tpu.training import cast_conv_params  # noqa: E402  (re-export)
 
 
 def normalize_uint8(imgs: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:

@@ -29,6 +29,17 @@ from mode_tpu.parallel import mesh as pmesh
 from mode_tpu.utils.losses import disparity_deep_supervision, silog_loss
 
 
+def cast_conv_params(params, dtype):
+  """Cast conv kernels (kernel/kernel_t leaves) to ``dtype``; BN leaves stay
+  float32. Differentiable — under autodiff the cast transposes back to f32
+  master-weight gradients (mixed-precision training)."""
+  def f(path, leaf):
+    if path[-1].key in ("kernel", "kernel_t"):
+      return leaf.astype(dtype)
+    return leaf
+  return jax.tree_util.tree_map_with_path(f, params)
+
+
 @flax.struct.dataclass
 class TrainState:
   params: Any
@@ -60,18 +71,25 @@ def init_state(model, optimizer, rng, *example_args, **example_kw
 
 
 def make_disparity_train_step(model, optimizer,
-                              mesh: Optional[Any] = None) -> Callable:
+                              mesh: Optional[Any] = None,
+                              compute_dtype=None) -> Callable:
   """One stage-1 update: deep-supervision smooth-L1 on ~isnan(gt) mask
-  (train_disparity.py:195)."""
+  (train_disparity.py:195). ``compute_dtype=jnp.bfloat16`` enables
+  mixed-precision (bf16 activations/conv kernels, f32 master weights,
+  f32 softmax/regression and loss)."""
 
   def step(state: TrainState, left, right, disp_gt):
     mask = ~jnp.isnan(disp_gt)
     gt = jnp.where(mask, disp_gt, 0.0)
 
     def loss_fn(params):
+      apply_params = (cast_conv_params(params, compute_dtype)
+                      if compute_dtype else params)
+      l = left.astype(compute_dtype) if compute_dtype else left
+      r = right.astype(compute_dtype) if compute_dtype else right
       (p1, p2, p3), mut = model.apply(
-          {"params": params, "batch_stats": state.batch_stats},
-          left, right, train=True, mutable=["batch_stats"])
+          {"params": apply_params, "batch_stats": state.batch_stats},
+          l, r, train=True, mutable=["batch_stats"])
       loss = disparity_deep_supervision((p1, p2, p3), gt, mask)
       return loss, mut["batch_stats"]
 
@@ -87,7 +105,8 @@ def make_disparity_train_step(model, optimizer,
 
 
 def make_fusion_train_step(model, optimizer, max_depth: float,
-                           mesh: Optional[Any] = None) -> Callable:
+                           mesh: Optional[Any] = None,
+                           compute_dtype=None) -> Callable:
   """One stage-2 update: silog(λ=0.5) on gt<=max_depth
   (train_fusion.py:100-112)."""
 
@@ -95,8 +114,10 @@ def make_fusion_train_step(model, optimizer, max_depth: float,
     mask = gt <= max_depth
 
     def loss_fn(params):
+      apply_params = (cast_conv_params(params, compute_dtype)
+                      if compute_dtype else params)
       out, mut = model.apply(
-          {"params": params, "batch_stats": state.batch_stats},
+          {"params": apply_params, "batch_stats": state.batch_stats},
           list(depths), list(confs), list(rgbs), train=True,
           mutable=["batch_stats"])
       loss = silog_loss(0.5, out[..., 0], gt, mask)

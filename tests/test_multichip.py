@@ -115,3 +115,32 @@ def test_checkpoint_roundtrip(tmp_path):
   back = jax.tree_util.tree_leaves(restored["params"])
   for a, b in zip(orig, back):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_mixed_precision_train_step():
+  """bf16 train step: master weights stay f32, loss finite, params move."""
+  import jax.numpy as jnp
+  from mode_tpu import training
+  from mode_tpu.models.disparity import ModeDisparity
+
+  h, w, maxdisp, b = 32, 16, 16, 1
+  model = ModeDisparity(maxdisp=maxdisp)
+  opt = training.make_optimizer()
+  rng = np.random.default_rng(0)
+  left = rng.normal(size=(b, h, w, 3)).astype(np.float32)
+  right = rng.normal(size=(b, h, w, 3)).astype(np.float32)
+  disp = rng.uniform(0.5, maxdisp - 1, size=(b, h, w)).astype(np.float32)
+  state = training.init_state(model, opt, jax.random.PRNGKey(0), left,
+                              right, train=False)
+  step = training.make_disparity_train_step(model, opt, None,
+                                            compute_dtype=jnp.bfloat16)
+  p0 = jax.tree_util.tree_map(np.asarray, state.params)
+  state, loss = step(state, left, right, disp)
+  assert np.isfinite(float(loss))
+  for a, b_ in zip(jax.tree_util.tree_leaves(p0),
+                   jax.tree_util.tree_leaves(state.params)):
+    assert np.asarray(b_).dtype == np.float32   # master weights stay f32
+  moved = any(np.abs(np.asarray(a) - np.asarray(b_)).max() > 0
+              for a, b_ in zip(jax.tree_util.tree_leaves(p0),
+                               jax.tree_util.tree_leaves(state.params)))
+  assert moved
