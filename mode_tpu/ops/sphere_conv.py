@@ -231,6 +231,10 @@ def _pallas_eligible(x, kh, kw, sphere_type, stride, pad, dilation) -> bool:
   if (sphere_type != "Cassini" or stride != 1 or dilation != 1 or
       kh != kw or kh % 2 == 0 or h != 2 * w or w % 8 != 0):
     return False
+  # the kernel's im2col lane offsets are jj*H: Mosaic requires them to be
+  # provably 128-aligned, and channels land on 8-row sublane slots
+  if h % 128 != 0 or cin % 8 != 0:
+    return False
   if conv_output_size(h, kh, stride, pad, dilation) != h:
     return False
   if _PALLAS_MODE == "on":
