@@ -149,6 +149,8 @@ def _fused_regression_eligible(cost, maxdisp, h, w) -> bool:
     return False
   if h % 8 != 0 or w % 128 != 0 or cost.shape[1] > 128:
     return False
+  if cost.shape[1] % 8 != 0 or cost.shape[3] % 128 != 0:
+    return False
   if _FUSED_REGRESSION == "on":
     return True
   try:

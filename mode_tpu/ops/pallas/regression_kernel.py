@@ -8,11 +8,12 @@ materializes a (B, 192, 1024, 512) probability volume (~1.2 GB in bf16) and
 streams it through HBM several times — XLA spends ~280 ms on it.
 
 This kernel never materializes the upsampled volume: each grid step DMAs a
-small (wy, Wq, D) band of the quarter-resolution cost (~0.3 MB), expands it
+small (wy, D, Wq) band of the quarter-resolution cost (~0.1 MB), expands it
 in VMEM through three interpolation matmuls (exact align_corners semantics —
-the matrices are the same ones the XLA path contracts with), and reduces the
-softmax / soft-argmin / confidence into two (TY, W) output tiles on the
-spot. HBM traffic: the quarter-res input once + the full-res outputs once.
+the matrices are the same ones the XLA path contracts with; the W expansion
+for all TY output rows is ONE large MXU GEMM), and reduces the softmax /
+soft-argmin / confidence into (TY, W) output tiles on the spot. HBM
+traffic: the quarter-res input once + the full-res outputs once.
 
 Confidence semantics match ``confidence_from_prob`` exactly, including the
 double counting at clamped boundaries (round(pred)±1 clipped into range).
@@ -30,8 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mode_tpu.ops.resize import linear_matrix
 
-TY = 8       # output rows per grid step
-DPAD = 128   # cost depth padded so the DMA minor dim is lane-aligned
+TY = 8  # output rows per grid step
 
 
 @functools.lru_cache(maxsize=16)
@@ -49,12 +49,10 @@ def _tables(d_in: int, hq: int, wq: int, d_out: int, h: int, w: int):
     s = min(int(np.floor(y0 * scale)), hq - wy)
     ys[t] = s
     mh_win[t] = mh[y0:y0 + TY, s:s + wy]
-  md_pad = np.zeros((DPAD, d_out), np.float32)
-  md_pad[:d_in] = md.T                                # (DPAD, D)
-  return md_pad, mx, ys, mh_win, wy                   # mx: (W, Wq)
+  return md, mx.T, ys, mh_win, wy                     # mx.T: (Wq, W)
 
 
-def _kernel(ys_ref, cost_ref, mdp_ref, mhw_ref, mxw_ref,
+def _kernel(ys_ref, cost_ref, md_ref, mhw_ref, mxt_ref,
             pred_ref, conf_ref, band_ref, t1_ref, sem,
             *, d_out, wq, w, wy, dtype):
   i = pl.program_id(0)
@@ -65,35 +63,42 @@ def _kernel(ys_ref, cost_ref, mdp_ref, mhw_ref, mxw_ref,
   dma.start()
   dma.wait()
 
-  # D-interp per source row: (Wq, DPAD) @ (DPAD, D)
+  # D-interp per source row: (D, d_in) @ (d_in, Wq) -> (D, Wq), D-major
   for yy in range(wy):
-    t1_ref[yy] = jnp.dot(band_ref[yy], mdp_ref[:],
+    t1_ref[yy] = jnp.dot(md_ref[:], band_ref[yy],
                          preferred_element_type=jnp.float32).astype(dtype)
 
-  didx = jax.lax.broadcasted_iota(jnp.int32, (w, d_out),
-                                  1).astype(jnp.float32)
-  for tt in range(TY):                     # one full-res output row each
-    # H-interp: scalar-weighted blend of the source rows
+  # H-interp: scalar-weighted blends, stacked over the TY output rows
+  rows = []
+  for tt in range(TY):
     acc = mhw_ref[ty, tt, 0] * t1_ref[0].astype(jnp.float32)
     for yy in range(1, wy):
       acc = acc + mhw_ref[ty, tt, yy] * t1_ref[yy].astype(jnp.float32)
-    # W-interp: (W, Wq) @ (Wq, D) -> f32 logits with D on lanes
-    logits = jnp.dot(mxw_ref[:], acc.astype(dtype),
-                     preferred_element_type=jnp.float32)   # (W, D)
+    rows.append(acc.astype(dtype))
+  cat = jnp.concatenate(rows, axis=0)                  # (TY*D, Wq)
 
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    sm = jnp.sum(e, axis=-1, keepdims=True)                # (W, 1)
-    pred = jnp.sum(e * didx, axis=-1, keepdims=True) / sm  # (W, 1)
+  # W-interp: ONE GEMM for the whole tile -> f32 logits (TY, D, W)
+  logits = jnp.dot(cat, mxt_ref[:],
+                   preferred_element_type=jnp.float32)
+  logits = logits.reshape(TY, d_out, w)
 
-    rp = jnp.round(pred)
-    conf_e = jnp.zeros_like(sm)
-    for delta in (-1.0, 0.0, 1.0):
-      tap = jnp.clip(rp + delta, 0.0, d_out - 1.0)
-      conf_e = conf_e + jnp.sum(jnp.where(didx == tap, e, 0.0), axis=-1,
-                                keepdims=True)
-    pred_ref[0, tt] = pred[:, 0]
-    conf_ref[0, tt] = (conf_e / sm)[:, 0]
+  m = jnp.max(logits, axis=1, keepdims=True)
+  e = jnp.exp(logits - m)
+  s = jnp.sum(e, axis=1, keepdims=True)                # (TY, 1, W)
+  dvec = jax.lax.broadcasted_iota(jnp.int32, (1, d_out, 1),
+                                  1).astype(jnp.float32)
+  pred = jnp.sum(e * dvec, axis=1, keepdims=True) / s  # (TY, 1, W)
+
+  rp = jnp.round(pred)
+  didx = jax.lax.broadcasted_iota(jnp.int32, (TY, d_out, w),
+                                  1).astype(jnp.float32)
+  conf_e = jnp.zeros_like(s)
+  for delta in (-1.0, 0.0, 1.0):
+    tap = jnp.clip(rp + delta, 0.0, d_out - 1.0)
+    conf_e = conf_e + jnp.sum(jnp.where(didx == tap, e, 0.0), axis=1,
+                              keepdims=True)
+  pred_ref[0] = pred[:, 0, :]
+  conf_ref[0] = (conf_e / s)[:, 0, :]
 
 
 def fused_disparity_regression(cost_q: jnp.ndarray, maxdisp: int,
@@ -103,38 +108,37 @@ def fused_disparity_regression(cost_q: jnp.ndarray, maxdisp: int,
 
   Args:
     cost_q: (N, D, Hq, Wq) quarter-resolution cost logits (channel
-      squeezed), float32 or bfloat16.
+      squeezed), float32 or bfloat16. D must be a multiple of 8 and Wq a
+      multiple of 128 (the production 48 / 128).
     maxdisp / h / w: full-resolution target sizes.
   Returns:
     (pred, conf), each (N, h, w) float32.
   """
   n, d_in, hq, wq = cost_q.shape
-  assert h % TY == 0 and d_in <= DPAD
-  md_pad, mx_w, ys, mh_win, wy = _tables(d_in, hq, wq, maxdisp, h, w)
+  assert h % TY == 0 and d_in % 8 == 0 and wq % 128 == 0
+  md, mx_t, ys, mh_win, wy = _tables(d_in, hq, wq, maxdisp, h, w)
   dtype = cost_q.dtype
 
-  # host layout (N, Hq, Wq, DPAD): dynamic H-window on an untiled major dim,
-  # lane-aligned minor dim for the band DMA
-  cost_hwd = jnp.transpose(cost_q, (0, 2, 3, 1))
-  cost_hwd = jnp.pad(cost_hwd, ((0, 0), (0, 0), (0, 0),
-                                (0, DPAD - d_in)))
+  # layout (N, Hq, D, Wq): dynamic H-window on an untiled major dim,
+  # lane-aligned Wq minor dim for the band DMA
+  cost_hdw = jnp.swapaxes(cost_q, 1, 2)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=1,
       grid=(n, h // TY),
       in_specs=[
           pl.BlockSpec(memory_space=pltpu.ANY),
-          pl.BlockSpec((DPAD, maxdisp), lambda i, t, *_: (0, 0)),
+          pl.BlockSpec((maxdisp, d_in), lambda i, t, *_: (0, 0)),
           pl.BlockSpec((h // TY, TY, wy), lambda i, t, *_: (0, 0, 0)),
-          pl.BlockSpec((w, wq), lambda i, t, *_: (0, 0)),
+          pl.BlockSpec((wq, w), lambda i, t, *_: (0, 0)),
       ],
       out_specs=[
           pl.BlockSpec((1, TY, w), lambda i, t, *_: (i, t, 0)),
           pl.BlockSpec((1, TY, w), lambda i, t, *_: (i, t, 0)),
       ],
       scratch_shapes=[
-          pltpu.VMEM((wy, wq, DPAD), dtype),
-          pltpu.VMEM((wy, wq, maxdisp), dtype),
+          pltpu.VMEM((wy, d_in, wq), dtype),
+          pltpu.VMEM((wy, maxdisp, wq), dtype),
           pltpu.SemaphoreType.DMA,
       ],
   )
@@ -149,8 +153,8 @@ def fused_disparity_regression(cost_q: jnp.ndarray, maxdisp: int,
           flops=2 * n * h * w * maxdisp * (wq // 16),
           bytes_accessed=cost_q.size * 4 + 2 * n * h * w * 4,
           transcendentals=n * h * w * maxdisp),
-  )(jnp.asarray(ys), cost_hwd.astype(dtype),
-    jnp.asarray(md_pad).astype(dtype),
+  )(jnp.asarray(ys), cost_hdw,
+    jnp.asarray(md).astype(dtype),            # (D, d_in)
     jnp.asarray(mh_win),
-    jnp.asarray(mx_w).astype(dtype))
+    jnp.asarray(mx_t).astype(dtype))
   return pred, conf

@@ -21,7 +21,7 @@ def _interpret_pallas():
 
 
 def test_fused_regression_matches_xla(rng):
-  n, d, hq, wq = 2, 12, 32, 128
+  n, d, hq, wq = 2, 16, 32, 128
   maxdisp, h, w = 48, 128, 512
   cost = rng.normal(size=(n, d, hq, wq)).astype(np.float32) * 2.0
 
