@@ -127,7 +127,7 @@ def fused_disparity_regression(cost_q: jnp.ndarray, maxdisp: int,
       num_scalar_prefetch=1,
       grid=(n, h // TY),
       in_specs=[
-          pl.BlockSpec(memory_space=pltpu.ANY),
+          pl.BlockSpec(memory_space=pl.ANY),
           pl.BlockSpec((maxdisp, d_in), lambda i, t, *_: (0, 0)),
           pl.BlockSpec((h // TY, TY, wy), lambda i, t, *_: (0, 0, 0)),
           pl.BlockSpec((wq, w), lambda i, t, *_: (0, 0)),

@@ -177,7 +177,7 @@ def sphere_conv_cassini_pallas(x: jnp.ndarray, weight: jnp.ndarray,
       num_scalar_prefetch=5,
       grid=(n, w // block_j),
       in_specs=[
-          pl.BlockSpec(memory_space=pltpu.ANY),
+          pl.BlockSpec(memory_space=pl.ANY),
           pl.BlockSpec((cout, kk * cin), lambda i, j, *_: (0, 0)),
       ],
       out_specs=pl.BlockSpec((1, block_j, cout, h),

@@ -1,0 +1,1 @@
+"""Metrics, losses, checkpointing, logging, profiling, visualization."""
