@@ -72,22 +72,30 @@ def build_shift_tables(h: int, w: int, k: int
   wc = (cols - c0).astype(np.float32)
   ok0 = (c0 >= 0) & (c0 < w)
   ok1 = (c0 + 1 >= 0) & (c0 + 1 < w)
-  col_tab = np.stack([
-      np.clip(c0, 0, w - 1),
-      np.clip(c0 + 1, 0, w - 1),
-      np.where(ok0, 1.0 - wc, 0.0),
-      np.where(ok1, wc, 0.0),
+  wc0 = np.where(ok0, 1.0 - wc, 0.0)
+  wc1 = np.where(ok1, wc, 0.0)
+  # fused bilinear coefficients: contribution of (column, rolled-column)
+  # pairs — the static successor roll is hoisted out of the tap loop, so
+  # mix = roll(q0·B[c0] + q1·BR[c0] + q2·B[c1] + q3·BR[c1], H-σ)
+  quad = np.stack([
+      wc0 * (1.0 - row_w),
+      wc0 * row_w,
+      wc1 * (1.0 - row_w),
+      wc1 * row_w,
   ], axis=-1).astype(np.float32)                      # (K, W, 4)
+  colint = np.stack([np.clip(c0, 0, w - 1),
+                     np.clip(c0 + 1, 0, w - 1)],
+                    axis=-1).astype(np.float32)       # (K, W, 2)
 
   return (np.ascontiguousarray(sigma.T.astype(np.int32)),      # (W, K)
-          np.ascontiguousarray(row_w.T),                        # (W, K)
-          np.ascontiguousarray(col_tab.transpose(1, 0, 2)),     # (W, K, 4)
+          np.ascontiguousarray(colint.transpose(1, 0, 2)),      # (W, K, 2)
+          np.ascontiguousarray(quad.transpose(1, 0, 2)),        # (W, K, 4)
           np.ascontiguousarray(drop_row.T.astype(np.int32)))    # (W, K)
 
 
-def _kernel(sigma_ref, colint_ref, wrow_ref, wcol_ref, drop_ref,  # prefetch
+def _kernel(sigma_ref, colint_ref, quad_ref, drop_ref,    # prefetch
             x_ref, w_ref, o_ref,                          # tensors
-            band_ref, col_ref, acc_ref, sem,              # scratch
+            band_ref, bandr_ref, col_ref, acc_ref, sem,   # scratch
             *, h, cin, cout, kk, bj):
   i = pl.program_id(0)
   jb = pl.program_id(1)
@@ -100,6 +108,14 @@ def _kernel(sigma_ref, colint_ref, wrow_ref, wcol_ref, drop_ref,  # prefetch
   lanes = jax.lax.broadcasted_iota(jnp.int32, (cin, h), 1)
   dma.wait()
 
+  # hoist the static successor roll: BR[c][i] = B[c][i+1], with the seam
+  # source row H-1 zeroed (its successor wrapped to row 0 must not
+  # contribute — CUDA's un-wrapped seam corner)
+  for c in range(bj + 4):
+    nxt = pltpu.roll(band_ref[c].astype(jnp.float32), h - 1, axis=1)
+    bandr_ref[c] = jnp.where(lanes == h - 1, 0.0,
+                             nxt).astype(bandr_ref.dtype)
+
   def column(jj, _):
     j = jb * bj + jj
     col0 = pl.multiple_of(jj * h, h)
@@ -107,17 +123,17 @@ def _kernel(sigma_ref, colint_ref, wrow_ref, wcol_ref, drop_ref,  # prefetch
     for k in range(kk):                     # unrolled: 9 taps
       c0 = colint_ref[j, 2 * k] - base
       c1 = colint_ref[j, 2 * k + 1] - base
-      wc0 = wcol_ref[j, 2 * k]
-      wc1 = wcol_ref[j, 2 * k + 1]
+      q0 = quad_ref[j, 4 * k]
+      q1 = quad_ref[j, 4 * k + 1]
+      q2 = quad_ref[j, 4 * k + 2]
+      q3 = quad_ref[j, 4 * k + 3]
       sig = sigma_ref[j, k]
-      wr = wrow_ref[j, k]
       drop = drop_ref[j, k]
 
-      colmix = (wc0 * band_ref[c0].astype(jnp.float32) +
-                wc1 * band_ref[c1].astype(jnp.float32))   # (C, H)
-      nxt = pltpu.roll(colmix, h - 1, axis=1)             # static rotate
-      nxt = jnp.where(lanes == h - 1, 0.0, nxt)           # seam source row
-      premix = (1.0 - wr) * colmix + wr * nxt
+      premix = (q0 * band_ref[c0].astype(jnp.float32) +
+                q1 * bandr_ref[c0].astype(jnp.float32) +
+                q2 * band_ref[c1].astype(jnp.float32) +
+                q3 * bandr_ref[c1].astype(jnp.float32))   # (C, H)
       mix = pltpu.roll(premix, h - sig, axis=1)           # dynamic rotate
       mix = jnp.where(lanes == drop, 0.0, mix)            # drop-at-H rows
       col_ref[pl.ds(k * cin, cin), pl.ds(col0, h)] = mix.astype(
@@ -150,11 +166,9 @@ def sphere_conv_cassini_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   kk = kh * kw
   assert w % block_j == 0, (w, block_j)
 
-  sigma, row_w, col_tab, drop_row = build_shift_tables(h, w, kh)
-  colint = np.stack([col_tab[..., 0], col_tab[..., 1]],
-                    -1).reshape(w, 2 * kk).astype(np.int32)
-  wcol = np.stack([col_tab[..., 2], col_tab[..., 3]],
-                  -1).reshape(w, 2 * kk).astype(np.float32)
+  sigma, colint_t, quad_t, drop_row = build_shift_tables(h, w, kh)
+  colint = colint_t.reshape(w, 2 * kk).astype(np.int32)
+  wquad = quad_t.reshape(w, 4 * kk).astype(np.float32)
 
   # lane-major: (N, W+4, C, H), H on lanes; ±2-column pad for the bands
   x_wch = jnp.transpose(x, (0, 2, 3, 1))
@@ -164,7 +178,7 @@ def sphere_conv_cassini_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   itemsize = jnp.dtype(x.dtype).itemsize
 
   def vmem_bytes(bj):
-    return ((bj + 4) * cin * h * itemsize +         # column band
+    return (2 * (bj + 4) * cin * h * itemsize +     # column band + rolled
             kk * cin * bj * h * itemsize +          # im2col scratch
             4 * cout * bj * h +                     # f32 accumulator
             3 * bj * cout * h * itemsize +          # output block x3
@@ -174,7 +188,7 @@ def sphere_conv_cassini_pallas(x: jnp.ndarray, weight: jnp.ndarray,
     block_j //= 2
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=5,
+      num_scalar_prefetch=4,
       grid=(n, w // block_j),
       in_specs=[
           pl.BlockSpec(memory_space=pl.ANY),
@@ -183,6 +197,7 @@ def sphere_conv_cassini_pallas(x: jnp.ndarray, weight: jnp.ndarray,
       out_specs=pl.BlockSpec((1, block_j, cout, h),
                              lambda i, j, *_: (i, j, 0, 0)),
       scratch_shapes=[
+          pltpu.VMEM((block_j + 4, cin, h), x.dtype),
           pltpu.VMEM((block_j + 4, cin, h), x.dtype),
           pltpu.VMEM((kk * cin, block_j * h), x.dtype),
           pltpu.VMEM((cout, block_j * h), jnp.float32),
@@ -200,6 +215,6 @@ def sphere_conv_cassini_pallas(x: jnp.ndarray, weight: jnp.ndarray,
       cost_estimate=pl.CostEstimate(
           flops=flops, bytes_accessed=x.size * itemsize * 2,
           transcendentals=0),
-  )(jnp.asarray(sigma), jnp.asarray(colint), jnp.asarray(row_w),
-    jnp.asarray(wcol), jnp.asarray(drop_row), x_wch, wmat_t)
+  )(jnp.asarray(sigma), jnp.asarray(colint), jnp.asarray(wquad),
+    jnp.asarray(drop_row), x_wch, wmat_t)
   return jnp.transpose(out_wch, (0, 3, 1, 2))

@@ -232,8 +232,9 @@ def _pallas_eligible(x, kh, kw, sphere_type, stride, pad, dilation) -> bool:
       kh != kw or kh % 2 == 0 or h != 2 * w or w % 8 != 0):
     return False
   # the kernel's im2col lane offsets are jj*H: Mosaic requires them to be
-  # provably 128-aligned, and channels land on 8-row sublane slots
-  if h % 128 != 0 or cin % 8 != 0:
+  # provably 128-aligned, and channels land on 8-row sublane slots; the
+  # per-column scalar tables live in SMEM (1 MB), which caps the width
+  if h % 128 != 0 or cin % 8 != 0 or w > 256:
     return False
   if conv_output_size(h, kh, stride, pad, dilation) != h:
     return False
