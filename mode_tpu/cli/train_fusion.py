@@ -47,6 +47,9 @@ def build_parser():
   p.add_argument("--lr", type=float, default=0.0001)
   p.add_argument("--loadmodel", default=None)
   p.add_argument("--savemodel", default="./checkpoints/fusion/")
+  p.add_argument("--bf16", action="store_true",
+                 help="mixed-precision training (bf16 activations, f32 "
+                      "master weights)")
   p.add_argument("--seed", type=int, default=1)
   p.add_argument("--dp", type=int, default=None)
   p.add_argument("--steps_per_epoch", type=int, default=None)
@@ -87,10 +90,12 @@ def main(argv=None):
   c0 = [mk(sample["confs"][k]) for k in range(6)]
   r0 = [mk(sample["rgbs"][k]) for k in range(4)]
   if args.model == "ModeFusion":
+    import jax.numpy as jnp
     state = training.init_state(model, optimizer, jax.random.PRNGKey(0),
                                 d0, c0, r0, train=False)
-    train_step = training.make_fusion_train_step(model, optimizer,
-                                                 args.maxdepth, mesh)
+    train_step = training.make_fusion_train_step(
+        model, optimizer, args.maxdepth, mesh,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     eval_fn = jax.jit(lambda v, d, c, r: model.apply(v, d, c, r,
                                                      train=False))
   else:

@@ -95,3 +95,15 @@ def test_fusion_lists_and_dataset(deep360_root, fusion_root):
 
   sd, sc, sr, sg = list_deep360_fusion_test(fusion_root, deep360_root)
   assert len(sg) == 2
+
+
+def test_soiled_lists(tmp_path):
+  from tests.synth_data import make_deep360_tree
+  root = str(tmp_path / "soiled")
+  make_deep360_tree(root, frames_per_subset=1, h=32, w=16, soiled=True)
+  # soiled trees also need the clean disp/depth dirs (same generator run
+  # writes them); listers must pick rgb_soiled
+  tl, tr, td, *_ = list_deep360_disparity_train(root, soiled=True)
+  assert len(tl) == 6
+  assert all("rgb_soiled" in p for p in tl + tr)
+  assert all("/disp/" in p for p in td)
