@@ -20,7 +20,11 @@ from mode_tpu.cli.common import count_params, load_model_checkpoint
 from mode_tpu.data.deep360 import Deep360DatasetDisparity
 from mode_tpu.data.file_lists import list_deep360_disparity_all
 from mode_tpu.data.loader import DataLoader
-from mode_tpu.geometry.reprojection import disp_to_depth_at_cam1
+from mode_tpu.geometry.reprojection import (
+    DEEP360_BASELINES,
+    FISHEYE_BASELINES,
+    disp_to_depth_at_cam1,
+)
 from mode_tpu.models.disparity import ModeDisparity
 from mode_tpu.utils.colormap import save_gray_png
 
@@ -42,6 +46,36 @@ def build_parser():
   p.add_argument("--seed", type=int, default=1)
   p.add_argument("--max_batches", type=int, default=None)
   return p
+
+
+def baselines_for_dbname(dbname: str) -> dict:
+  """Stereo-baseline table selection by dataset name
+  (save_output_disparity_stage.py:108-113): 'Deep360' uses the simulated
+  rig's 1/1/sqrt2 baselines; any other rig name selects the real fisheye
+  rig's 0.6*sqrt2/1.2 table. The reference leaves '3D60' undefined (it
+  never reaches disp2depth); we reject it explicitly."""
+  if dbname == "Deep360":
+    return DEEP360_BASELINES
+  if dbname == "3D60":
+    raise ValueError("3D60 has no camera rig: the bridge is Deep360/fisheye "
+                     "only (3D60 fusion inputs come from the 3D60 loaders)")
+  return FISHEYE_BASELINES
+
+
+def output_paths(disp_name: str, datapath: str, outpath: str, outdir: str,
+                 outdir_conf: str) -> tuple[str, str]:
+  """Map a dataset disparity path to (depth_npz, conf_png) output paths by
+  path components (the reference's string ``.replace('disp', ...)`` breaks
+  when 'disp' appears in the datapath or episode name)."""
+  rel = os.path.relpath(disp_name, datapath)
+  parts = rel.split(os.sep)
+  # .../<ep>/<subset>/disp/<frame>_<pair>_disp.npz
+  stem = parts[-1][:-len("disp.npz")]
+  subdir = parts[:-2]
+  depth_out = os.path.join(outpath, *subdir, outdir,
+                           stem + "disp_pred2depth.npz")
+  conf_out = os.path.join(outpath, *subdir, outdir_conf, stem + "conf_map.png")
+  return depth_out, conf_out
 
 
 def pad16(x: np.ndarray) -> tuple[np.ndarray, int, int]:
@@ -86,8 +120,10 @@ def main(argv=None):
                   exist_ok=True)
 
   fwd = jax.jit(lambda v, l, r: model.apply(v, l, r, train=False))
+  baselines = baselines_for_dbname(args.dbname)
   bridges = {
-      pair: jax.jit(lambda d, c, p=pair: disp_to_depth_at_cam1(d, c, p))
+      pair: jax.jit(lambda d, c, p=pair: disp_to_depth_at_cam1(
+          d, c, p, baselines=baselines))
       for pair in CAM_PAIRS
   }
 
@@ -105,12 +141,10 @@ def main(argv=None):
       disp_name = batch["dispNames"][i]
       pair = disp_name[-11:-9]
       depth1, conf1 = bridges[pair](pred[i], conf[i])
-      outpath = disp_name.replace(args.datapath.rstrip("/"),
-                                  args.outpath.rstrip("/"))[:-8]
-      np.savez(outpath.replace("disp", outdir) + "disp_pred2depth.npz",
-               np.asarray(depth1))
-      save_gray_png(outpath.replace("disp", outdir_conf) + "conf_map.png",
-                    np.asarray(conf1))
+      depth_out, conf_out = output_paths(disp_name, args.datapath,
+                                         args.outpath, outdir, outdir_conf)
+      np.savez(depth_out, np.asarray(depth1))
+      save_gray_png(conf_out, np.asarray(conf1))
   print()
 
 

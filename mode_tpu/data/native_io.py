@@ -10,7 +10,9 @@ with ``make -C native``.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
+import subprocess
 from typing import Optional, Sequence
 
 import numpy as np
@@ -34,10 +36,17 @@ def _load() -> Optional[ctypes.CDLL]:
   _TRIED = True
   path = _lib_path()
   if not os.path.exists(path):
-    # try building it (g++ + zlib are part of the toolchain)
+    # build on first use (g++ + zlib are part of the toolchain); loud on
+    # failure so a broken toolchain doesn't silently degrade to slow IO
+    log = logging.getLogger(__name__)
     makefile = os.path.join(os.path.dirname(path), "Makefile")
     if os.path.exists(makefile):
-      os.system(f"make -s -C {os.path.dirname(path)} >/dev/null 2>&1")
+      log.info("building native IO library: make -C %s", os.path.dirname(path))
+      proc = subprocess.run(["make", "-s", "-C", os.path.dirname(path)],
+                            capture_output=True, text=True)
+      if proc.returncode != 0:
+        log.warning("native IO build failed (falling back to PIL/numpy "
+                    "decoding):\n%s", proc.stderr.strip())
   if not os.path.exists(path):
     return None
   lib = ctypes.CDLL(path)
