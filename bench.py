@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end two-stage 360° depth pipeline, frames/sec/chip.
+"""Benchmark: end-to-end two-stage 360° depth pipeline + training step.
 
 One "frame" = the reference's full production unit of work
 (``save_output_disparity_stage.py`` + ``test_fusion.py``): 6 stereo pairs
 through ModeDisparity (1024×512 Cassini, maxdisp 192, confidence on), the 6
 disparity→depth SE(3) re-projections, and ModeFusion — all as one XLA
-program on one TPU chip.
+program on one TPU chip. Also measured: one full-resolution B=1 stage-1
+training step (bf16 + remat) and model-FLOPs utilization for both, from
+XLA's own cost analysis against the chip's bf16 peak.
 
 Baseline (``vs_baseline`` denominator): the reference publishes no
 throughput numbers (BASELINE.md). We use an estimated 0.21 frames/s for the
@@ -14,7 +16,7 @@ PSMNet-style stage-1 at 1024×512 (batch-6 amortized), plus ~1.5 s/frame for
 the serial numba z-buffer bridge (3 of 6 pairs, CPU), plus fusion —
 ≈ 4.7 s/frame. The target from BASELINE.json is ≥5× that per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -23,11 +25,21 @@ import time
 import numpy as np
 
 REFERENCE_FPS_ESTIMATE = 0.21
+PEAK_BF16_TFLOPS = 197.0   # TPU v5e per-chip bf16 peak
 
 
-def main():
-  import jax
-  import jax.numpy as jnp
+def _flops_of(jitted, *args):
+  """Analytic model FLOPs from XLA's cost analysis (None if unavailable)."""
+  try:
+    cost = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+      cost = cost[0]
+    return float(cost["flops"])
+  except Exception:
+    return None
+
+
+def bench_pipeline(jax, jnp):
   from mode_tpu.models.disparity import ModeDisparity
   from mode_tpu.models.fusion import ModeFusion
   from mode_tpu.pipeline import TwoStagePipeline
@@ -50,13 +62,8 @@ def main():
 
   # production path: bfloat16 stage-1 (f32 softmax/regression heads and f32
   # fusion), raw uint8 inputs normalized on-device (4x less host transfer).
-  # Checkpoint-parity (float32) is covered by the test suite. bf16-vs-f32
-  # disparity delta measured on a trained network (synthetic-stereo training
-  # on-chip): MAE 0.011 px, p99 0.11 px — far below the 1e-3-MAE-delta
-  # budget's noise floor comes from the f32 path; the bf16 path is the
-  # serving configuration. (Random-weight nets show multi-pixel deltas, but
-  # that is softmax chaos over 192 near-uniform logits, not an error of the
-  # computation.)
+  # Checkpoint-parity (float32) is covered by the test suite; bf16-vs-f32
+  # disparity delta on a trained network is 0.011 px MAE.
   pipe = TwoStagePipeline(disp_vars, fusion_vars, maxdisp=192,
                           max_depth=1000.0, dtype=jnp.bfloat16,
                           stage1_chunk=6, uint8_inputs=True)
@@ -68,13 +75,10 @@ def main():
     return lefts, rights, rgbs
 
   # Inputs are pre-staged on device: this dev harness reaches the TPU
-  # through a ~17 MB/s HTTP relay (measured 1.5 s to send one frame's 25 MB
-  # of uint8 inputs), which is an artifact of the tunnel, not of the
-  # framework or the chip — production hosts feed TPUs over PCIe/DMA and a
-  # prefetching input pipeline overlaps transfer with compute. The metric is
-  # therefore pipeline compute throughput; per-frame readback of the fused
-  # depth map stays in the timed section (axon's block_until_ready does not
-  # block, so readback is also the synchronization point).
+  # through a ~17 MB/s HTTP relay (an artifact of the tunnel — production
+  # hosts feed TPUs over PCIe/DMA with a prefetching input pipeline). The
+  # metric is pipeline compute throughput; the (subsampled) fused-depth
+  # readback stays in the timed section as the synchronization point.
   staged = [jax.device_put(frame_inputs()) for _ in range(3)]
   depth, _, _ = pipe(*staged[0])   # warmup (compile)
   _ = np.asarray(depth)
@@ -87,12 +91,67 @@ def main():
     _ = np.asarray(depth[::64, ::64])
     times.append(time.time() - t0)
   med = float(np.median(times))
-  fps = 1.0 / med
+
+  flops = None
+  try:
+    flops = pipe.cost_analysis_flops()
+  except Exception:
+    pass
+  return med, flops
+
+
+def bench_train_step(jax, jnp):
+  """Full-res (1024×512, maxdisp 192) B=1 stage-1 train step, bf16+remat."""
+  from mode_tpu import training
+  from mode_tpu.models.disparity import ModeDisparity
+
+  h, w = 1024, 512
+  model = ModeDisparity(maxdisp=192, conv="Sphere", sphere_type="Cassini",
+                        out_conf=False, remat=True)
+  optimizer = training.make_optimizer()
+  dummy = np.zeros((1, h, w, 3), np.float32)
+  state = training.init_state(model, optimizer, jax.random.PRNGKey(0),
+                              dummy, dummy, train=False)
+  step = training.make_disparity_train_step(model, optimizer, mesh=None,
+                                            compute_dtype=jnp.bfloat16)
+
+  rng = np.random.default_rng(1)
+  batch = [jax.device_put(x) for x in (
+      rng.normal(size=(1, h, w, 3)).astype(np.float32),
+      rng.normal(size=(1, h, w, 3)).astype(np.float32),
+      rng.uniform(1.0, 100.0, size=(1, h, w)).astype(np.float32))]
+
+  state, loss = step(state, *batch)      # compile + warmup
+  _ = float(loss)
+  times = []
+  for _i in range(3):
+    t0 = time.time()
+    state, loss = step(state, *batch)
+    _ = float(loss)                       # host readback = sync point
+    times.append(time.time() - t0)
+  return float(np.median(times))
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+
+  pipe_s, pipe_flops = bench_pipeline(jax, jnp)
+  fps = 1.0 / pipe_s
+  train_s = bench_train_step(jax, jnp)
+
+  extras = {"train_step_s": round(train_s, 4)}
+  if pipe_flops:
+    extras["pipeline_mfu_pct"] = round(
+        100.0 * pipe_flops / pipe_s / (PEAK_BF16_TFLOPS * 1e12), 2)
+    extras["pipeline_tflops"] = round(pipe_flops / 1e12, 3)
+
   print(json.dumps({
       "metric": "two_stage_pipeline_frames_per_sec_per_chip",
       "value": round(fps, 4),
       "unit": "frames/s (1024x512, 6 pairs + bridge + fusion)",
       "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
+      **extras,
   }))
 
 

@@ -23,7 +23,7 @@ torch's default kaiming-uniform.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -101,6 +101,60 @@ class TorchBatchNorm(nn.Module):
     return ((x - mean) * inv + bias).astype(x.dtype)
 
 
+class Conv3dDFold(nn.Module):
+  """``nn.Conv3d`` on NDHWC with a TPU-friendly compute path.
+
+  Parameter layout is identical to flax ``nn.Conv`` (``kernel`` of shape
+  ``(KD, KH, KW, I, O)``), so checkpoints are interchangeable. For the
+  stride-1 3x3x3 SAME convs that dominate the cost-volume stack
+  (``/root/reference/models/mode_disparity.py:115-129``) the D axis is
+  folded into the batch and the conv runs as 3 accumulated 2-D convs —
+  measured 1.43x faster than XLA's NDHWC conv3d at the production
+  (48,256,128,32) volume, where the 32-channel lane dim wastes 3/4 of the
+  MXU (scripts/bench_conv3d.py). Other configs use the plain 3-D conv.
+  """
+  features: int
+  kernel: Sequence[int]
+  stride: Sequence[int]
+  pad: Sequence[int]
+  use_bias: bool = False
+  kernel_init: Any = None
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    cin = x.shape[-1]
+    w = self.param("kernel", self.kernel_init or msra_normal_init(),
+                   (*self.kernel, cin, self.features))
+    dt = jnp.promote_types(x.dtype, w.dtype)
+    x = x.astype(dt)
+    w = w.astype(dt)
+
+    if (tuple(self.kernel) == (3, 3, 3) and tuple(self.stride) == (1, 1, 1)
+        and tuple(self.pad) == (1, 1, 1)):
+      n, d, h, ww, c = x.shape
+      xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+      dn = jax.lax.conv_dimension_numbers(
+          (n * d, h, ww, c), w.shape[1:], ("NHWC", "HWIO", "NHWC"))
+      y = None
+      for kd in range(3):
+        xs = xp[:, kd:kd + d].reshape(n * d, h, ww, c)
+        yk = jax.lax.conv_general_dilated(
+            xs, w[kd], (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+            precision=PRECISION)
+        y = yk if y is None else y + yk
+      y = y.reshape(n, d, h, ww, self.features)
+    else:
+      dn = jax.lax.conv_dimension_numbers(
+          x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+      y = jax.lax.conv_general_dilated(
+          x, w, tuple(self.stride), [(p, p) for p in self.pad],
+          dimension_numbers=dn, precision=PRECISION)
+    if self.use_bias:
+      b = self.param("bias", nn.initializers.zeros, (self.features,))
+      y = y + b.astype(y.dtype)
+    return y
+
+
 def conv_nd(x: jnp.ndarray, features: int, kernel: Sequence[int], *,
             stride=1, pad=0, dilation=1, use_bias=False, name: str,
             kernel_init=None) -> jnp.ndarray:
@@ -110,6 +164,10 @@ def conv_nd(x: jnp.ndarray, features: int, kernel: Sequence[int], *,
   stride = (stride,) * nd if isinstance(stride, int) else tuple(stride)
   pad = (pad,) * nd if isinstance(pad, int) else tuple(pad)
   dilation = (dilation,) * nd if isinstance(dilation, int) else tuple(dilation)
+  if nd == 3 and dilation == (1, 1, 1):
+    return Conv3dDFold(features, tuple(kernel), stride, pad,
+                       use_bias=use_bias, kernel_init=kernel_init,
+                       name=name)(x)
   return nn.Conv(features, tuple(kernel), strides=stride,
                  padding=[(p, p) for p in pad], kernel_dilation=dilation,
                  use_bias=use_bias,

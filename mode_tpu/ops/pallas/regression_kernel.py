@@ -29,6 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mode_tpu.ops.pallas.sphere_conv_kernel import _mxu_precision
 from mode_tpu.ops.resize import linear_matrix
 
 TY = 8  # output rows per grid step
@@ -66,7 +67,8 @@ def _kernel(ys_ref, cost_ref, md_ref, mhw_ref, mxt_ref,
   # D-interp per source row: (D, d_in) @ (d_in, Wq) -> (D, Wq), D-major
   for yy in range(wy):
     t1_ref[yy] = jnp.dot(md_ref[:], band_ref[yy],
-                         preferred_element_type=jnp.float32).astype(dtype)
+                         preferred_element_type=jnp.float32,
+                         precision=_mxu_precision(dtype)).astype(dtype)
 
   # H-interp: scalar-weighted blends, stacked over the TY output rows
   rows = []
@@ -79,7 +81,8 @@ def _kernel(ys_ref, cost_ref, md_ref, mhw_ref, mxt_ref,
 
   # W-interp: ONE GEMM for the whole tile -> f32 logits (TY, D, W)
   logits = jnp.dot(cat, mxt_ref[:],
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=_mxu_precision(dtype))
   logits = logits.reshape(TY, d_out, w)
 
   m = jnp.max(logits, axis=1, keepdims=True)

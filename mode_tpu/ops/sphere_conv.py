@@ -228,13 +228,23 @@ def _pallas_eligible(x, kh, kw, sphere_type, stride, pad, dilation) -> bool:
   if _PALLAS_MODE == "off":
     return False
   n, h, w, cin = x.shape
-  if (sphere_type != "Cassini" or stride != 1 or dilation != 1 or
-      kh != kw or kh % 2 == 0 or h != 2 * w or w % 8 != 0):
+  if (sphere_type not in ("Cassini", "ERP") or stride != 1 or dilation != 1
+      or kh != kw or kh % 2 == 0):
     return False
-  # the kernel's im2col lane offsets are jj*H: Mosaic requires them to be
-  # provably 128-aligned, and channels land on 8-row sublane slots; the
-  # per-column scalar tables live in SMEM (1 MB), which caps the width
-  if h % 128 != 0 or cin % 8 != 0 or w > 256:
+  # (band, lanes) = (W, H) for Cassini, (H, W) for ERP
+  if sphere_type == "Cassini":
+    band, lanes = w, h
+    if h != 2 * w:
+      return False
+  else:
+    band, lanes = h, w
+    if w != 2 * h:
+      return False
+  # the kernel's im2col lane offsets are jj*lanes: Mosaic requires them
+  # provably 128-aligned; channels land on 8-row sublane slots; the
+  # per-band-index scalar tables live in SMEM (1 MB) — ~252 B/row caps the
+  # band around 2048 (full-res 1024x512 Cassini fits comfortably)
+  if lanes % 128 != 0 or cin % 8 != 0 or band % 8 != 0 or band > 2048:
     return False
   if conv_output_size(h, kh, stride, pad, dilation) != h:
     return False
@@ -246,25 +256,40 @@ def _pallas_eligible(x, kh, kw, sphere_type, stride, pad, dilation) -> bool:
     return False
   if platform not in ("tpu", "axon"):
     return False
-  # the kernel channel-splits and shrinks its column block to fit VMEM; the
-  # (double-buffered) image block of a <=64-channel split is the floor
+  # the kernel shrinks its band block to fit VMEM; the (double-buffered)
+  # minimum block of a <=64-channel slice is the floor
   itemsize = jnp.dtype(x.dtype).itemsize
   return 2 * h * w * min(cin, 64) * itemsize <= 9 * 2**20
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _sphere_conv_fast(x, weight, static):
-  from mode_tpu.ops.pallas.sphere_conv_kernel import sphere_conv_cassini_pallas
-  return sphere_conv_cassini_pallas(x, weight)
+  from mode_tpu.ops.pallas import sphere_conv_kernel as sck
+  if static[0] == "ERP":
+    return sck.sphere_conv_erp_pallas(x, weight)
+  return sck.sphere_conv_cassini_pallas(x, weight)
 
 
 def _fast_fwd(x, weight, static):
   return _sphere_conv_fast(x, weight, static), (x, weight)
 
 
+_PALLAS_BWD = True   # Pallas col2im-transpose backward (vs XLA gather VJP)
+
+
+def set_pallas_backward(on: bool):
+  """Toggle the Pallas backward (XLA gather-transpose VJP when off)."""
+  global _PALLAS_BWD
+  _PALLAS_BWD = bool(on)
+
+
 def _fast_bwd(static, res, g):
   x, weight = res
   sphere_type, stride, pad, dilation, precision = static
+  if _PALLAS_BWD and sphere_type == "Cassini":
+    from mode_tpu.ops.pallas.sphere_conv_kernel import (
+        sphere_conv_cassini_pallas_bwd)
+    return sphere_conv_cassini_pallas_bwd(x, weight, g)
   _, vjp = jax.vjp(
       lambda xx, ww: sphere_conv_xla(xx, ww, sphere_type=sphere_type,
                                      stride=stride, pad=pad,

@@ -129,3 +129,15 @@ class TwoStagePipeline:
     return self._run(self.disp_variables, self.fusion_variables,
                      jnp.asarray(lefts), jnp.asarray(rights),
                      jnp.asarray(rgbs))
+
+  def cost_analysis_flops(self, h: int = 1024, w: int = 512):
+    """Analytic model FLOPs of one frame, from XLA's cost analysis."""
+    in_dtype = jnp.uint8 if self.uint8_inputs else jnp.float32
+    args = (self.disp_variables, self.fusion_variables,
+            jax.ShapeDtypeStruct((6, h, w, 3), in_dtype),
+            jax.ShapeDtypeStruct((6, h, w, 3), in_dtype),
+            jax.ShapeDtypeStruct((4, h, w, 3), in_dtype))
+    cost = self._run.lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+      cost = cost[0]
+    return float(cost["flops"])
