@@ -32,10 +32,19 @@ import numpy as np
 
 from mode_tpu.ops.sphere_conv import sphere_conv
 
-# Global matmul/conv precision: HIGHEST keeps float32 accumulation on the MXU
-# (needed for checkpoint parity with the fp32 reference); the fast path feeds
-# bfloat16 data instead, which runs at native MXU speed either way.
+# Global matmul/conv precision: HIGHEST keeps float32 operands exact on the
+# MXU (needed for checkpoint parity with the fp32 reference). It is chosen
+# per call from the operand dtype: bf16 x bf16 -> f32 accumulation is already
+# exact at DEFAULT, while requesting HIGHEST on bf16 operands makes XLA
+# upcast and multi-pass — measured 1.24x slower on the cost-volume conv3d
+# (scripts/bench_conv3d.py: ndhwc_c32 9.36ms HIGHEST vs 7.55ms DEFAULT).
 PRECISION = jax.lax.Precision.HIGHEST
+
+
+def mxu_precision(dtype):
+  """HIGHEST for f32 operands (exactness), DEFAULT for bf16 (native MXU)."""
+  return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+          else jax.lax.Precision.DEFAULT)
 
 
 def msra_normal_init():
@@ -68,12 +77,30 @@ def _transpose_init():
 
 
 class TorchBatchNorm(nn.Module):
-  """BatchNorm with exact torch semantics over the last (channel) axis."""
+  """BatchNorm with exact torch semantics over the last (channel) axis.
+
+  ``affine_only=True`` (eval only) returns the folded per-channel
+  ``(scale', bias')`` with ``BN(x) == x*scale' + bias'`` instead of
+  normalizing — used to fuse BN into the Pallas conv3d epilogue. ``x`` is
+  ignored then; pass ``features`` for the channel count.
+  """
   momentum: float = 0.1
   eps: float = 1e-5
 
   @nn.compact
-  def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+  def __call__(self, x, train: bool, *, affine_only: bool = False,
+               features: int | None = None):
+    if affine_only:
+      assert not train
+      c = features
+      scale = self.param("scale", nn.initializers.ones, (c,))
+      bias = self.param("bias", nn.initializers.zeros, (c,))
+      ra_mean = self.variable("batch_stats", "mean",
+                              lambda: jnp.zeros((c,), jnp.float32))
+      ra_var = self.variable("batch_stats", "var",
+                             lambda: jnp.ones((c,), jnp.float32))
+      inv = jax.lax.rsqrt(ra_var.value + self.eps) * scale
+      return inv, bias - ra_mean.value * inv
     c = x.shape[-1]
     scale = self.param("scale", nn.initializers.ones, (c,))
     bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -101,8 +128,12 @@ class TorchBatchNorm(nn.Module):
     return ((x - mean) * inv + bias).astype(x.dtype)
 
 
+# lane-major layouts: which NDHWC spatial axis rides the TPU lanes
+_LANE_SPEC = {"W": "NDHCW", "H": "NDWCH"}
+
+
 class Conv3dDFold(nn.Module):
-  """``nn.Conv3d`` on NDHWC with a TPU-friendly compute path.
+  """``nn.Conv3d`` on NDHWC with TPU-friendly compute paths.
 
   Parameter layout is identical to flax ``nn.Conv`` (``kernel`` of shape
   ``(KD, KH, KW, I, O)``), so checkpoints are interchangeable. For the
@@ -112,6 +143,14 @@ class Conv3dDFold(nn.Module):
   measured 1.43x faster than XLA's NDHWC conv3d at the production
   (48,256,128,32) volume, where the 32-channel lane dim wastes 3/4 of the
   MXU (scripts/bench_conv3d.py). Other configs use the plain 3-D conv.
+
+  Lane-major call modes (eval fast path; ``x`` is (B, D, M, C, L) with one
+  panorama axis on the lanes):
+    * ``lane_fused=dict(lane_axis, scale, bias, residual, relu)`` — the
+      fused Pallas kernel (``ops/pallas/conv3d_kernel.py``);
+    * ``lane_xla=(in_lane, out_lane)`` with lanes in {'W','H'} — XLA conv
+      with custom dimension numbers (used for stride-2 / small-lane convs);
+      the output lane axis may differ so downstream convs see full lanes.
   """
   features: int
   kernel: Sequence[int]
@@ -121,13 +160,38 @@ class Conv3dDFold(nn.Module):
   kernel_init: Any = None
 
   @nn.compact
-  def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-    cin = x.shape[-1]
+  def __call__(self, x: jnp.ndarray, lane_fused=None,
+               lane_xla=None) -> jnp.ndarray:
+    cin = x.shape[-2] if (lane_fused or lane_xla) else x.shape[-1]
     w = self.param("kernel", self.kernel_init or msra_normal_init(),
                    (*self.kernel, cin, self.features))
     dt = jnp.promote_types(x.dtype, w.dtype)
     x = x.astype(dt)
     w = w.astype(dt)
+
+    if lane_fused is not None:
+      from mode_tpu.ops.pallas.conv3d_kernel import (
+          conv3d_band_pallas, weight_lane_major)
+      assert tuple(self.kernel) == (3, 3, 3)
+      assert tuple(self.stride) == (1, 1, 1) and tuple(self.pad) == (1, 1, 1)
+      assert not self.use_bias
+      return conv3d_band_pallas(
+          x, weight_lane_major(w, lane_fused["lane_axis"]),
+          lane_fused.get("scale"), lane_fused.get("bias"),
+          lane_fused.get("residual"), relu=lane_fused.get("relu", False))
+
+    if lane_xla is not None:
+      in_lane, out_lane = lane_xla
+      dn = jax.lax.conv_dimension_numbers(
+          x.shape, w.shape,
+          (_LANE_SPEC[in_lane], "DHWIO", _LANE_SPEC[out_lane]))
+      y = jax.lax.conv_general_dilated(
+          x, w, tuple(self.stride), [(p, p) for p in self.pad],
+          dimension_numbers=dn, precision=mxu_precision(dt))
+      if self.use_bias:
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = y + b.astype(y.dtype)[:, None]
+      return y
 
     if (tuple(self.kernel) == (3, 3, 3) and tuple(self.stride) == (1, 1, 1)
         and tuple(self.pad) == (1, 1, 1)):
@@ -140,7 +204,7 @@ class Conv3dDFold(nn.Module):
         xs = xp[:, kd:kd + d].reshape(n * d, h, ww, c)
         yk = jax.lax.conv_general_dilated(
             xs, w[kd], (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
-            precision=PRECISION)
+            precision=mxu_precision(dt))
         y = yk if y is None else y + yk
       y = y.reshape(n, d, h, ww, self.features)
     else:
@@ -148,7 +212,7 @@ class Conv3dDFold(nn.Module):
           x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
       y = jax.lax.conv_general_dilated(
           x, w, tuple(self.stride), [(p, p) for p in self.pad],
-          dimension_numbers=dn, precision=PRECISION)
+          dimension_numbers=dn, precision=mxu_precision(dt))
     if self.use_bias:
       b = self.param("bias", nn.initializers.zeros, (self.features,))
       y = y + b.astype(y.dtype)
@@ -173,7 +237,7 @@ def conv_nd(x: jnp.ndarray, features: int, kernel: Sequence[int], *,
                  use_bias=use_bias,
                  kernel_init=kernel_init or msra_normal_init(),
                  bias_init=nn.initializers.zeros,
-                 precision=PRECISION, name=name)(x)
+                 precision=mxu_precision(x.dtype), name=name)(x)
 
 
 class ConvTranspose(nn.Module):
@@ -188,9 +252,9 @@ class ConvTranspose(nn.Module):
   use_bias: bool = False
 
   @nn.compact
-  def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+  def __call__(self, x: jnp.ndarray, lane_xla=None) -> jnp.ndarray:
     nd = len(self.kernel)
-    cin = x.shape[-1]
+    cin = x.shape[-2] if lane_xla else x.shape[-1]
     w = self.param("kernel_t", _transpose_init(),
                    (*self.kernel, self.features, cin))
     w_flipped = jnp.flip(w, axis=tuple(range(nd)))
@@ -198,13 +262,17 @@ class ConvTranspose(nn.Module):
     pad = [(k - 1 - self.padding, k - 1 - self.padding + self.output_padding)
            for k in self.kernel]
     spatial = "DHW"[3 - nd:]
-    dn = jax.lax.conv_dimension_numbers(
-        x.shape, w_io.shape,
-        (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+    if lane_xla is not None:
+      assert nd == 3
+      in_lane, out_lane = lane_xla
+      specs = (_LANE_SPEC[in_lane], "DHWIO", _LANE_SPEC[out_lane])
+    else:
+      specs = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+    dn = jax.lax.conv_dimension_numbers(x.shape, w_io.shape, specs)
     y = jax.lax.conv_general_dilated(
         x, w_io.astype(x.dtype), window_strides=(1,) * nd, padding=pad,
         lhs_dilation=(self.stride,) * nd, rhs_dilation=(1,) * nd,
-        dimension_numbers=dn, precision=PRECISION)
+        dimension_numbers=dn, precision=mxu_precision(x.dtype))
     if self.use_bias:
       fan_in = self.features * int(np.prod(self.kernel))
       bound = 1.0 / math.sqrt(fan_in)
@@ -212,7 +280,7 @@ class ConvTranspose(nn.Module):
           "bias",
           lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
           (self.features,))
-      y = y + b.astype(y.dtype)
+      y = y + (b.astype(y.dtype)[:, None] if lane_xla else b.astype(y.dtype))
     return y
 
 
@@ -238,7 +306,7 @@ class SphereConvLayer(nn.Module):
     return sphere_conv(x, w.astype(x.dtype), b,
                        sphere_type=self.sphere_type, stride=self.stride,
                        pad=self.pad, dilation=self.dilation,
-                       precision=PRECISION)
+                       precision=mxu_precision(x.dtype))
 
 
 # --------------------------------------------------------------------------
@@ -261,6 +329,35 @@ def convbn_3d(x, train, features, kernel, stride, pad, prefix):
   x = conv_nd(x, features, (kernel,) * 3, stride=stride, pad=pad,
               name=f"{prefix}.0")
   return TorchBatchNorm(name=f"{prefix}.1")(x, train)
+
+
+def convbn_3d_lane(x, features, kernel, stride, pad, prefix, *, in_lane,
+                   out_lane=None, relu=False, residual=None):
+  """Eval-only lane-major ``convbn_3d`` — same param tree as
+  :func:`convbn_3d`, but ``x`` is (B, D, M, C, L) with the ``in_lane``
+  panorama axis ('W' or 'H') on the TPU lanes. Stride-1 3x3x3 convs run the
+  fused Pallas kernel (BN affine + residual + ReLU in the epilogue); other
+  configs run an XLA conv in the lane-major layout (``out_lane`` may differ
+  so downstream convs keep full lanes) with the epilogue applied by XLA.
+  """
+  from mode_tpu.ops.pallas.conv3d_kernel import band_pallas_ok
+  out_lane = out_lane or in_lane
+  scale, bias = TorchBatchNorm(name=f"{prefix}.1")(
+      None, False, affine_only=True, features=features)
+  conv = Conv3dDFold(features, (kernel,) * 3, (stride,) * 3, (pad,) * 3,
+                     name=f"{prefix}.0")
+  if (kernel == 3 and stride == 1 and pad == 1 and out_lane == in_lane
+      and band_pallas_ok(x.shape, features)):
+    return conv(x, lane_fused=dict(lane_axis=3 if in_lane == "W" else 2,
+                                   scale=scale, bias=bias,
+                                   residual=residual, relu=relu))
+  y = conv(x, lane_xla=(in_lane, out_lane)).astype(jnp.float32)
+  y = y * scale[:, None] + bias[:, None]
+  if residual is not None:
+    y = y + residual.astype(jnp.float32)
+  if relu:
+    y = jnp.maximum(y, 0.0)
+  return y.astype(x.dtype)
 
 
 def sphere_convbn(x, train, features, kernel, stride, pad, dilation,

@@ -21,6 +21,7 @@ import numpy as np
 
 from mode_tpu.models.blocks import (
     BasicBlockNoRelu,
+    Conv3dDFold,
     ConvTranspose,
     RegularBasicBlock,
     SphereBasicBlock,
@@ -28,6 +29,7 @@ from mode_tpu.models.blocks import (
     conv_nd,
     convbn,
     convbn_3d,
+    convbn_3d_lane,
     sphere_convbn,
 )
 from mode_tpu.ops.cost_volume import build_cost_volume
@@ -110,12 +112,48 @@ class PSMNetFeatureExtraction(nn.Module):
 
 
 class Hourglass(nn.Module):
-  """3-D hourglass (mode_disparity.py:11-46) on NDHWC."""
+  """3-D hourglass (mode_disparity.py:11-46) on NDHWC.
+
+  ``lane='W'`` (eval only) runs the lane-major fast path: ``x`` is
+  (B, D, H, C, W) with W on the TPU lanes; the stride-2 encoder emits the
+  half-resolution level with H on the lanes (so the inner stride-1 convs
+  keep full 128-lane tiles), and conv6 emits back W-lane-major. Same param
+  tree as the NDHWC path.
+  """
   inplanes: int
 
   @nn.compact
-  def __call__(self, x, presqu, postsqu, train: bool):
+  def __call__(self, x, presqu, postsqu, train: bool, lane=None):
     p2 = self.inplanes * 2
+    if lane is not None:
+      assert not train and lane == "W"
+      out = convbn_3d_lane(x, p2, 3, 2, 1, "conv1.0", in_lane="W",
+                           out_lane="H", relu=True)                  # 1/8
+      pre = convbn_3d_lane(out, p2, 3, 1, 1, "conv2", in_lane="H",
+                           relu=True, residual=postsqu)              # 1/8
+      out = convbn_3d_lane(pre, p2, 3, 2, 1, "conv3.0", in_lane="H",
+                           relu=True)                                # 1/16
+      out = convbn_3d_lane(out, p2, 3, 1, 1, "conv4.0", in_lane="H",
+                           relu=True)                                # 1/16
+
+      up = ConvTranspose(p2, (3, 3, 3), stride=2, padding=1,
+                         output_padding=1,
+                         name="conv5.0")(out, lane_xla=("H", "H"))
+      s5, b5 = TorchBatchNorm(name="conv5.1")(None, False,
+                                              affine_only=True, features=p2)
+      res = presqu if presqu is not None else pre
+      post = jnp.maximum(up.astype(jnp.float32) * s5[:, None] + b5[:, None]
+                         + res.astype(jnp.float32), 0.0).astype(x.dtype)
+
+      out = ConvTranspose(self.inplanes, (3, 3, 3), stride=2, padding=1,
+                          output_padding=1,
+                          name="conv6.0")(post, lane_xla=("H", "W"))
+      s6, b6 = TorchBatchNorm(name="conv6.1")(None, False, affine_only=True,
+                                              features=self.inplanes)
+      out = (out.astype(jnp.float32) * s6[:, None]
+             + b6[:, None]).astype(x.dtype)
+      return out, pre, post
+
     out = nn.relu(convbn_3d(x, train, p2, 3, 2, 1, "conv1.0"))      # 1/8
     pre = convbn_3d(out, train, p2, 3, 1, 1, "conv2")               # 1/8
     pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
@@ -157,6 +195,14 @@ def _fused_regression_eligible(cost, maxdisp, h, w) -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
   except RuntimeError:
     return False
+
+
+def _lane_mid_eligible(cost_shape) -> bool:
+  """Can the eval cost-volume stack run lane-major (W on TPU lanes)?"""
+  from mode_tpu.ops.pallas.conv3d_kernel import band_pallas_ok
+  b, d, hh, ww, c = cost_shape
+  return (d % 4 == 0 and hh % 4 == 0 and
+          band_pallas_ok((b, d, hh, 32, ww), 32))
 
 
 def disparity_regression(prob: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
@@ -222,6 +268,66 @@ class ModeDisparity(nn.Module):
     # one chip). XLA inserts the 1-pixel halo exchanges for the 3-D convs.
     cost = constrain_spatial(cost, h_axis=2)
 
+    h, w = left.shape[1], left.shape[2]
+
+    if not train and _lane_mid_eligible(cost.shape):
+      # eval fast path: the whole cost-volume stack runs lane-major
+      # (B, D, H, C, W) with W on the TPU lanes — stride-1 3x3x3 convs hit
+      # the fused Pallas kernel, stride-2/deconvs run XLA convs with custom
+      # dimension numbers; one transpose in, none out (the classif heads
+      # emit (B, D, H, W) directly, which is what the regression wants).
+      costl = jnp.transpose(cost, (0, 1, 2, 4, 3))
+      c0 = convbn_3d_lane(costl, 32, 3, 1, 1, "dres0.0", in_lane="W",
+                          relu=True)
+      c0 = convbn_3d_lane(c0, 32, 3, 1, 1, "dres0.2", in_lane="W",
+                          relu=True)
+      d1 = convbn_3d_lane(c0, 32, 3, 1, 1, "dres1.0", in_lane="W",
+                          relu=True)
+      cost0 = convbn_3d_lane(d1, 32, 3, 1, 1, "dres1.2", in_lane="W",
+                             residual=c0)
+
+      out1, pre1, post1 = Hourglass(32, name="dres2")(
+          cost0, None, None, train, lane="W")
+      out1 = out1 + cost0
+      out2, pre2, post2 = Hourglass(32, name="dres3")(
+          out1, pre1, post1, train, lane="W")
+      out2 = out2 + cost0
+      out3, pre3, post3 = Hourglass(32, name="dres4")(
+          out2, pre1, post2, train, lane="W")
+      out3 = out3 + cost0
+
+      def classif_lane(x, prefix):
+        from mode_tpu.ops.pallas.conv3d_kernel import band_pallas_ok
+        y = convbn_3d_lane(x, 32, 3, 1, 1, f"{prefix}.0", in_lane="W",
+                           relu=True)
+        head = Conv3dDFold(1, (3, 3, 3), (1, 1, 1), (1, 1, 1),
+                           name=f"{prefix}.2")
+        if band_pallas_ok(y.shape, 8):            # cout padded 1 -> 8
+          y = head(y, lane_fused=dict(lane_axis=3))
+        else:
+          y = head(y, lane_xla=("W", "W"))
+        return y[..., 0, :]                       # (B, D, H, W)
+
+      cost1 = classif_lane(out1, "classif1")
+      cost2 = classif_lane(out2, "classif2") + cost1
+      cost3 = classif_lane(out3, "classif3") + cost2
+
+      if _fused_regression_eligible(cost3[..., None], self.maxdisp, h, w):
+        from mode_tpu.ops.pallas.regression_kernel import (
+            fused_disparity_regression)
+        pred3, conf = fused_disparity_regression(cost3, self.maxdisp, h, w)
+        if self.out_conf:
+          return pred3, conf
+        return pred3
+
+      up = upsample_trilinear(cost3[..., None], self.maxdisp, h, w)[..., 0]
+      prob3 = jax.nn.softmax(up.astype(jnp.float32), axis=1)
+      pred3 = disparity_regression(prob3, self.maxdisp)
+      if self.out_conf:
+        conf = confidence_from_prob(prob3, pred3, self.maxdisp)
+        return pred3, conf
+      return pred3
+
     cost0 = nn.relu(convbn_3d(cost, train, 32, 3, 1, 1, "dres0.0"))
     cost0 = nn.relu(convbn_3d(cost0, train, 32, 3, 1, 1, "dres0.2"))
     d1 = nn.relu(convbn_3d(cost0, train, 32, 3, 1, 1, "dres1.0"))
@@ -244,8 +350,6 @@ class ModeDisparity(nn.Module):
     cost1 = classif(out1, "classif1")
     cost2 = classif(out2, "classif2") + cost1
     cost3 = classif(out3, "classif3") + cost2
-
-    h, w = left.shape[1], left.shape[2]
 
     def regress(cost):
       up = upsample_trilinear(cost, self.maxdisp, h, w)[..., 0]  # (B,D,H,W)

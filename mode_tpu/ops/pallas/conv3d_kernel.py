@@ -1,0 +1,324 @@
+"""Pallas TPU kernel for the cost-volume 3-D convolutions.
+
+The stage-1 mid-section (``/root/reference/models/mode_disparity.py:115-129``)
+is ~20 stride-1 3x3x3 convs over (B, 48, 256, 128, C) volumes with C in
+{32, 64}. XLA's conv3d keeps channels on the 128 TPU lanes, so C=32 wastes
+3/4 of the MXU columns (measured 16.4 bf16-TFLOP/s at best across layouts,
+``scripts/bench_conv3d.py``). This kernel re-maps the GEMM instead:
+
+  * layout is lane-major ``(B, D, M, C, L)`` — the panorama axis whose size
+    is a multiple of 128 (W at full volume, H at half volume) rides the
+    lanes; the other spatial axis M forms DMA'd halo bands;
+  * the kd / kh taps are folded into the GEMM's contraction: a
+    ``band[d:d+3, m:m+3]`` slice IS the (9·C, L) contraction operand —
+    contiguous in VMEM, zero im2col copies;
+  * the kw taps are folded into the GEMM's output rows: one
+    ``(3·Cout, 9·C) @ (9·C, L)`` matmul per output row, and the three
+    Cout-row groups are combined by ±1 lane shifts (VPU) — so every MAC the
+    MXU performs is a useful conv FLOP;
+  * BatchNorm (eval, folded to scale/bias), the residual add, and ReLU run
+    in the epilogue while the tile is still in VMEM — the reference fuses
+    none of this (torch eager, ``submodule.py:20-22``);
+  * halo blocks are double-buffered: the next block's DMA is issued before
+    the current block's GEMMs.
+
+Training keeps the XLA path (``models/blocks.py:Conv3dDFold``) — this kernel
+is the eval/serving fast path, dispatched by ``conv3d_fused``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mode_tpu.ops.pallas.sphere_conv_kernel import _mxu_precision
+
+
+def _kernel(x_ref, w_ref, sb_ref, res_ref, o_ref, bands_ref, z_ref, sem,
+            *, db, mb, cin, cout, lanes, relu, has_res):
+  b = pl.program_id(0)
+  d = pl.program_id(1)
+  m = pl.program_id(2)
+  nd = pl.num_programs(1)
+  nm = pl.num_programs(2)
+  lin = (b * nd + d) * nm + m
+  total = pl.num_programs(0) * nd * nm
+  slot = lax.rem(lin, 2)
+
+  def band_dma(slot_idx, b_, d_, m_):
+    return pltpu.make_async_copy(
+        x_ref.at[b_, pl.ds(d_ * db, db + 2),
+                 pl.ds(m_ * mb * cin, (mb + 2) * cin)],
+        bands_ref.at[slot_idx], sem.at[slot_idx])
+
+  @pl.when(lin == 0)
+  def _first():
+    band_dma(slot, b, d, m).start()
+
+  # prefetch the next block's halo band while this block computes
+  @pl.when(lin + 1 < total)
+  def _prefetch():
+    nxt = lin + 1
+    m2 = lax.rem(nxt, nm)
+    d2 = lax.rem(nxt // nm, nd)
+    b2 = nxt // (nm * nd)
+    band_dma(1 - slot, b2, d2, m2).start()
+
+  band_dma(slot, b, d, m).wait()
+
+  # MXU pass: ONE (9·Cout, 3C) @ (3C, L) dot per INPUT row — all kd and kw
+  # taps fold into the output rows, so the loop-invariant weights stream
+  # through a stationary x-tile that is loaded once per dot and fed 9·Cout
+  # rows (amortizing the systolic-array fill). The (kh·C) contraction operand
+  # is a direct 2-D slice of the band (bands are stored (D, (M+2)·C, L), so
+  # a kh-window is one sublane slice — no im2col copy). Halo input rows cost
+  # (db+2)/db extra work; db is picked large to bound it.
+  prec = _mxu_precision(w_ref.dtype)
+
+  def rows(s):
+    # static slices — unrolled so Mosaic can pipeline the dots
+    for di in range(db + 2):
+      for mm in range(mb):
+        z_ref[di, mm] = jnp.dot(
+            w_ref[:].reshape(9 * cout, 3 * cin),
+            bands_ref[s, di, mm * cin:(mm + 3) * cin],
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(z_ref.dtype)
+
+  # slot is dynamic (alternates per grid step); branch so slices stay static
+  @pl.when(slot == 0)
+  def _s0():
+    rows(0)
+
+  @pl.when(slot == 1)
+  def _s1():
+    rows(1)
+
+  # VPU pass: out[dd] = sum_kd kw-shift(Z[dd+kd, group(kd, kw)]), vectorized
+  # over the whole block, then the fused epilogue.
+  nrow = db * mb
+  lanes_i = jax.lax.broadcasted_iota(jnp.int32, (nrow, cout, lanes), 2)
+  left = mid = right = None
+  for kd in range(3):                          # sum kd groups per kw column
+    zc = z_ref[kd:kd + db]                     # (db, mb, 9Cout, L)
+    g = 3 * kd
+    lt = zc[:, :, g * cout:(g + 1) * cout].reshape(nrow, cout, lanes)
+    md = zc[:, :, (g + 1) * cout:(g + 2) * cout].reshape(nrow, cout, lanes)
+    rt = zc[:, :, (g + 2) * cout:(g + 3) * cout].reshape(nrow, cout, lanes)
+    left = lt if left is None else left + lt
+    mid = md if mid is None else mid + md
+    right = rt if right is None else right + rt
+  acc = (mid.astype(jnp.float32) +
+         jnp.where(lanes_i == 0, 0.0,
+                   pltpu.roll(left.astype(jnp.float32), 1, axis=2)) +
+         jnp.where(lanes_i == lanes - 1, 0.0,
+                   pltpu.roll(right.astype(jnp.float32), lanes - 1, axis=2)))
+  acc = acc * sb_ref[0][None] + sb_ref[1][None]
+  if has_res:
+    acc = acc + res_ref[0].reshape(nrow, cout, lanes).astype(jnp.float32)
+  if relu:
+    acc = jnp.maximum(acc, 0.0)
+  o_ref[0] = acc.reshape(db, mb, cout, lanes).astype(o_ref.dtype)
+
+
+def _pick_blocks(d, m, cin, cout, lanes, itemsize, has_res):
+  """Largest (db, mb) whose working set fits the VMEM budget."""
+  def vmem(db, mb):
+    return (2 * (db + 2) * (mb + 2) * cin * lanes * itemsize +   # bands x2
+            2 * db * mb * cout * lanes * itemsize +              # out x2
+            (2 * db * mb * cout * lanes * itemsize if has_res else 0) +
+            3 * cout * 9 * cin * itemsize +                      # weights
+            (db + 2) * mb * 9 * cout * lanes * 4)                # z (f32)
+
+  for db, mb in ((8, 8), (8, 4), (4, 8), (4, 4), (2, 4), (2, 2), (1, 2),
+                 (1, 1)):
+    if d % db == 0 and m % mb == 0 and vmem(db, mb) <= 10 * 2**20:
+      return db, mb
+  return None
+
+
+def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
+                       scale: jnp.ndarray | None = None,
+                       bias: jnp.ndarray | None = None,
+                       residual: jnp.ndarray | None = None,
+                       relu: bool = False) -> jnp.ndarray:
+  """Fused stride-1 3x3x3 conv (+affine +residual +ReLU), lane-major.
+
+  Args:
+    x: (B, D, M, C, L) volume, L a multiple of 128, C a multiple of 8.
+    weight: (3, 3, 3, C, Cout) in (kd, kh(M), kw(L), in, out) order,
+      Cout a multiple of 8.
+    scale, bias: optional (Cout,) f32 epilogue affine (folded BatchNorm).
+    residual: optional (B, D, M, Cout, L) added before ReLU.
+    relu: apply ReLU in the epilogue.
+  Returns:
+    (B, D, M, Cout, L) in x.dtype.
+  """
+  b, d, m, cin, lanes = x.shape
+  kd, kh, kw, wcin, cout = weight.shape
+  assert (kd, kh, kw) == (3, 3, 3) and wcin == cin
+  if cout < 8:
+    # narrow heads (e.g. the classif cout=1 conv): zero-pad the output
+    # channels to the 8-sublane minimum and slice after — still ~4x faster
+    # than any XLA layout for this conv
+    pad_to = 8
+    weight = jnp.pad(weight, ((0, 0),) * 4 + ((0, pad_to - cout),))
+    if scale is not None:
+      scale = jnp.pad(scale, (0, pad_to - cout))
+    if bias is not None:
+      bias = jnp.pad(bias, (0, pad_to - cout))
+    if residual is not None:
+      residual = jnp.pad(residual,
+                         ((0, 0),) * 3 + ((0, pad_to - cout), (0, 0)))
+    y = conv3d_band_pallas(x, weight, scale, bias, residual, relu)
+    return y[:, :, :, :cout]
+  assert lanes % 128 == 0 and cin % 8 == 0 and cout % 8 == 0
+  itemsize = jnp.dtype(x.dtype).itemsize
+
+  blocks = _pick_blocks(d, m, cin, cout, lanes, itemsize,
+                        residual is not None)
+  assert blocks is not None, (x.shape,)
+  db, mb = blocks
+
+  # fold kw into the GEMM's output rows, one operand per kd:
+  # A[kd][s*Cout+co, (kh,ci)]
+  w2 = jnp.transpose(weight, (0, 2, 4, 1, 3)).reshape(3, 3 * cout, 3 * cin)
+  w2 = w2.astype(x.dtype)
+
+  sb = jnp.stack([
+      jnp.ones((cout,), jnp.float32) if scale is None
+      else scale.astype(jnp.float32),
+      jnp.zeros((cout,), jnp.float32) if bias is None
+      else bias.astype(jnp.float32),
+  ])[:, :, None]                                       # (2, Cout, 1)
+
+  # pad D/M halos and flatten (M, C) so a kh-window is one sublane slice
+  xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+  xp = xp.reshape(b, d + 2, (m + 2) * cin, lanes)
+
+  has_res = residual is not None
+  res = residual if has_res else jnp.zeros((b, 1, 1, cout, lanes), x.dtype)
+  res_spec = (pl.BlockSpec((1, db, mb, cout, lanes),
+                           lambda i, j, k: (i, j, k, 0, 0)) if has_res else
+              pl.BlockSpec((1, 1, 1, cout, lanes), lambda i, j, k: (i, 0, 0,
+                                                                    0, 0)))
+
+  kernel = functools.partial(_kernel, db=db, mb=mb, cin=cin, cout=cout,
+                             lanes=lanes, relu=relu, has_res=has_res)
+  flops = 2 * b * d * m * lanes * 27 * cin * cout
+  return pl.pallas_call(
+      kernel,
+      grid=(b, d // db, m // mb),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec((3, 3 * cout, 3 * cin), lambda i, j, k: (0, 0, 0)),
+          pl.BlockSpec((2, cout, 1), lambda i, j, k: (0, 0, 0)),
+          res_spec,
+      ],
+      out_specs=pl.BlockSpec((1, db, mb, cout, lanes),
+                             lambda i, j, k: (i, j, k, 0, 0)),
+      out_shape=jax.ShapeDtypeStruct((b, d, m, cout, lanes), x.dtype),
+      scratch_shapes=[
+          pltpu.VMEM((2, db + 2, (mb + 2) * cin, lanes), x.dtype),
+          # z holds the per-input-row (kd,kw,Cout) pre-shift tiles in f32:
+          # storing bf16 here quantizes each of the 9 accumulated taps and
+          # was measurably off on-chip (conv3d_bf16_c64to32 max_abs 0.0625)
+          pltpu.VMEM((db + 2, mb, 9 * cout, lanes), jnp.float32),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      cost_estimate=pl.CostEstimate(
+          flops=flops,
+          bytes_accessed=(x.size + res.size if has_res else x.size)
+          * itemsize * 2,
+          transcendentals=0),
+  )(xp, w2, sb, res)
+
+
+def lane_axis_for(shape) -> int | None:
+  """Which NDHWC spatial axis rides the lanes: 3 (W) or 2 (H), else None."""
+  _, _, h, w, _ = shape
+  if w % 128 == 0:
+    return 3
+  if h % 128 == 0:
+    return 2
+  return None
+
+
+def to_lane_major(x: jnp.ndarray, lane_axis: int) -> jnp.ndarray:
+  """NDHWC -> (B, D, M, C, L) with L = the chosen spatial axis."""
+  return (jnp.transpose(x, (0, 1, 2, 4, 3)) if lane_axis == 3
+          else jnp.transpose(x, (0, 1, 3, 4, 2)))
+
+
+def from_lane_major(x: jnp.ndarray, lane_axis: int) -> jnp.ndarray:
+  """(B, D, M, C, L) -> NDHWC."""
+  return (jnp.transpose(x, (0, 1, 2, 4, 3)) if lane_axis == 3
+          else jnp.transpose(x, (0, 1, 4, 2, 3)))
+
+
+def weight_lane_major(w: jnp.ndarray, lane_axis: int) -> jnp.ndarray:
+  """(KD, KH, KW, I, O) -> (kd, k_band, k_lane, I, O)."""
+  return w if lane_axis == 3 else jnp.transpose(w, (0, 2, 1, 3, 4))
+
+
+def conv3d_fused(x: jnp.ndarray, weight: jnp.ndarray,
+                 scale: jnp.ndarray | None = None,
+                 bias: jnp.ndarray | None = None,
+                 residual: jnp.ndarray | None = None,
+                 relu: bool = False) -> jnp.ndarray:
+  """NDHWC wrapper around :func:`conv3d_band_pallas` (transposes in/out).
+
+  Callers that keep whole stacks on-chip should stay in the lane-major
+  layout and call :func:`conv3d_band_pallas` directly instead.
+  """
+  la = lane_axis_for(x.shape)
+  assert la is not None, x.shape
+  y = conv3d_band_pallas(
+      to_lane_major(x, la), weight_lane_major(weight, la), scale, bias,
+      None if residual is None else to_lane_major(residual, la), relu)
+  return from_lane_major(y, la)
+
+
+def conv3d_pallas_eligible(shape, kernel, stride, pad, cout) -> bool:
+  """Static gate for the Pallas conv3d fast path (NDHWC shapes)."""
+  if tuple(kernel) != (3, 3, 3) or tuple(stride) != (1, 1, 1):
+    return False
+  if tuple(pad) != (1, 1, 1):
+    return False
+  b, d, h, w, c = shape
+  if c % 8 != 0 or cout % 8 != 0:
+    return False
+  return lane_axis_for(shape) is not None
+
+
+_CONV3D_MODE = "auto"   # "auto" | "on" | "off"
+
+
+def set_conv3d_pallas(mode: str):
+  """Force/forbid/auto-select the Pallas conv3d fast path (tests)."""
+  global _CONV3D_MODE
+  assert mode in ("auto", "on", "off")
+  _CONV3D_MODE = mode
+
+
+def band_pallas_ok(x_shape, cout) -> bool:
+  """Can :func:`conv3d_band_pallas` run on this lane-major (B,D,M,C,L)?"""
+  if _CONV3D_MODE == "off":
+    return False
+  b, d, m, c, lanes = x_shape
+  if lanes % 128 != 0 or c % 8 != 0 or cout % 8 != 0:
+    return False
+  if _pick_blocks(d, m, c, cout, lanes, 2, False) is None:
+    return False
+  if _CONV3D_MODE == "on":
+    return True
+  try:
+    return jax.devices()[0].platform in ("tpu", "axon")
+  except RuntimeError:
+    return False

@@ -151,6 +151,49 @@ def main():
   check("fused_regression_conf",
         np.asarray(conf)[stable], np.asarray(conf_ref)[stable], 5e-3, 1e-3)
 
+  # --- fused conv3d (cost-volume stack) at production shapes ---------------
+  from mode_tpu.ops.pallas.conv3d_kernel import (
+      conv3d_band_pallas, from_lane_major, lane_axis_for, to_lane_major,
+      weight_lane_major)
+  from jax import lax
+
+  def conv3d_xla_ref(x, wgt, scale, bias, residual, relu):
+    dn = lax.conv_dimension_numbers(x.shape, wgt.shape,
+                                    ("NDHWC", "DHWIO", "NDHWC"))
+    y = lax.conv_general_dilated(
+        x, wgt, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=dn,
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT)).astype(jnp.float32)
+    y = y * scale + bias
+    if residual is not None:
+      y = y + residual.astype(jnp.float32)
+    if relu:
+      y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+  for b, d, hh, ww, cin, cout, dtype, res, tag in [
+      (1, 48, 256, 128, 64, 32, jnp.bfloat16, False, "bf16_c64to32_full"),
+      (1, 48, 256, 128, 32, 32, jnp.bfloat16, True, "bf16_c32_full_res"),
+      (1, 24, 128, 64, 64, 64, jnp.bfloat16, False, "bf16_c64_half"),
+      (1, 8, 64, 128, 32, 32, jnp.float32, True, "f32_c32_small"),
+  ]:
+    x = jnp.asarray(rng.normal(size=(b, d, hh, ww, cin)) * 0.3, dtype)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.08, dtype)
+    scale = jnp.asarray(rng.normal(size=(cout,)) * 0.2 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    residual = (jnp.asarray(rng.normal(size=(b, d, hh, ww, cout)) * 0.3,
+                            dtype) if res else None)
+    la = lane_axis_for(x.shape)
+    got = jax.jit(lambda xl, wl, rl: conv3d_band_pallas(
+        xl, wl, scale, bias, rl, relu=True))(
+            to_lane_major(x, la), weight_lane_major(wgt, la),
+            None if residual is None else to_lane_major(residual, la))
+    got = from_lane_major(got, la)
+    ref = jax.jit(lambda a, b_, r: conv3d_xla_ref(
+        a, b_, scale, bias, r, True))(x, wgt, residual)
+    tol = 1e-4 if dtype == jnp.float32 else 4e-2
+    check(f"conv3d_{tag}", got, ref, tol, tol)
+
   print(json.dumps({"ok": ok, "n_checks": len(results)}), flush=True)
   return 0 if ok else 1
 

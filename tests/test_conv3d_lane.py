@@ -1,0 +1,106 @@
+"""Pallas conv3d kernel + lane-major mid-section parity tests.
+
+Runs the kernel in interpret mode on CPU (Mosaic-lowering behavior is
+covered by scripts/tpu_kernel_check.py on the real chip, per the verify
+skill). The reference is XLA's NDHWC conv3d at HIGHEST precision.
+"""
+
+import functools
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+from jax.experimental import pallas as pl
+
+from mode_tpu.ops.pallas import conv3d_kernel as ck
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+  orig = pl.pallas_call
+  monkeypatch.setattr(pl, "pallas_call",
+                      functools.partial(orig, interpret=True))
+
+
+def _xla_ref(x, w, scale, bias, residual, relu):
+  dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                  ("NDHWC", "DHWIO", "NDHWC"))
+  y = lax.conv_general_dilated(x, w, (1, 1, 1), [(1, 1)] * 3,
+                               dimension_numbers=dn,
+                               precision=lax.Precision.HIGHEST)
+  y = y * scale + bias
+  if residual is not None:
+    y = y + residual
+  if relu:
+    y = jnp.maximum(y, 0.0)
+  return y
+
+
+@pytest.mark.parametrize("shape,cout,res,relu", [
+    ((1, 4, 8, 128, 8), 16, False, True),     # lanes = W
+    ((2, 4, 16, 128, 16), 8, True, True),     # batch, residual
+    ((1, 4, 128, 16, 8), 8, True, False),     # lanes = H
+    ((1, 8, 24, 256, 8), 8, False, False),    # 256 lanes, odd-ish M
+    ((1, 4, 8, 128, 8), 1, False, False),     # narrow head (cout padded)
+])
+def test_conv3d_band_pallas_parity(interpret_pallas, shape, cout, res, relu):
+  b, d, h, w, c = shape
+  key = jax.random.PRNGKey(0)
+  k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+  x = jax.random.normal(k1, shape, jnp.float32) * 0.3
+  wgt = jax.random.normal(k2, (3, 3, 3, c, cout), jnp.float32) * 0.1
+  scale = jax.random.normal(k3, (cout,), jnp.float32) * 0.2 + 1.0
+  bias = jax.random.normal(k4, (cout,), jnp.float32) * 0.1
+  residual = (jax.random.normal(k5, (b, d, h, w, cout), jnp.float32) * 0.3
+              if res else None)
+
+  la = ck.lane_axis_for(shape)
+  y = ck.conv3d_band_pallas(
+      ck.to_lane_major(x, la), ck.weight_lane_major(wgt, la), scale, bias,
+      None if residual is None else ck.to_lane_major(residual, la),
+      relu=relu)
+  y = ck.from_lane_major(y, la)
+  ref = _xla_ref(x, wgt, scale, bias, residual, relu)
+  np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_lane_mid_section_matches_ndhwc(interpret_pallas):
+  """Full ModeDisparity eval: lane-major fast path == NDHWC path."""
+  from mode_tpu.models.disparity import ModeDisparity
+
+  # cost volume (1, 4, 64, 128, 64) — lane-eligible (W/4 = 128 lanes).
+  # Regular FE: the mid-section under test is identical, and it has no
+  # 2:1-panorama constraint, so the test stays CPU-sized.
+  h, w, maxdisp = 256, 512, 16
+  model = ModeDisparity(maxdisp=maxdisp, conv="Regular", out_conf=True)
+  key = jax.random.PRNGKey(0)
+  left = jax.random.normal(key, (1, h, w, 3), jnp.float32) * 0.5
+  right = jnp.roll(left, 2, axis=2)
+  variables = model.init(jax.random.PRNGKey(1), left, right, train=False)
+
+  ck.set_conv3d_pallas("off")
+  try:
+    ref_pred, ref_conf = model.apply(variables, left, right, train=False)
+    ck.set_conv3d_pallas("on")
+    lane_pred, lane_conf = model.apply(variables, left, right, train=False)
+  finally:
+    ck.set_conv3d_pallas("auto")
+
+  np.testing.assert_allclose(np.asarray(lane_pred), np.asarray(ref_pred),
+                             rtol=2e-4, atol=2e-4)
+  np.testing.assert_allclose(np.asarray(lane_conf), np.asarray(ref_conf),
+                             rtol=2e-4, atol=2e-4)
+
+
+def test_lane_gate_rejects_ineligible():
+  assert not ck.band_pallas_ok((1, 4, 16, 30, 128), 32)   # C % 8
+  assert not ck.band_pallas_ok((1, 4, 16, 32, 96), 32)    # lanes % 128
+  ck.set_conv3d_pallas("off")
+  try:
+    assert not ck.band_pallas_ok((1, 4, 16, 32, 128), 32)
+  finally:
+    ck.set_conv3d_pallas("auto")
