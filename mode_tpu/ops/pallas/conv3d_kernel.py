@@ -81,24 +81,16 @@ def _kernel(x_ref, w_ref, sb_ref, res_ref, o_ref, bands_ref, z_ref, sem,
   # (db+2)/db extra work; db is picked large to bound it.
   prec = _mxu_precision(w_ref.dtype)
 
-  def rows(s):
-    # static slices — unrolled so Mosaic can pipeline the dots
-    for di in range(db + 2):
-      for mm in range(mb):
-        z_ref[di, mm] = jnp.dot(
-            w_ref[:].reshape(9 * cout, 3 * cin),
-            bands_ref[s, di, mm * cin:(mm + 3) * cin],
-            preferred_element_type=jnp.float32,
-            precision=prec).astype(z_ref.dtype)
-
-  # slot is dynamic (alternates per grid step); branch so slices stay static
-  @pl.when(slot == 0)
-  def _s0():
-    rows(0)
-
-  @pl.when(slot == 1)
-  def _s1():
-    rows(1)
+  # unrolled static slices so Mosaic can pipeline the dots (a fori_loop with
+  # dynamic operand slices measured 21 vs 30 TFLOP/s); the double-buffer
+  # slot is a dynamic leading index only
+  wmat = w_ref[:].reshape(9 * cout, 3 * cin)
+  for di in range(db + 2):
+    for mm in range(mb):
+      z_ref[di, mm] = jnp.dot(
+          wmat, bands_ref[slot, di, mm * cin:(mm + 3) * cin],
+          preferred_element_type=jnp.float32,
+          precision=prec).astype(z_ref.dtype)
 
   # VPU pass: out[dd] = sum_kd kw-shift(Z[dd+kd, group(kd, kw)]), vectorized
   # over the whole block, then the fused epilogue.

@@ -122,22 +122,37 @@ class TwoStagePipeline:
       return out[0, :, :, 0], disp, conf
 
     self._run = run_frame
+    self._compiled = {}          # (shapes key) -> jax.stages.Compiled
+
+  def _executable(self, args):
+    """AOT-compile once per shape signature; the SAME executable then serves
+    every frame AND cost_analysis (re-lowering the whole-frame graph costs
+    minutes at this size)."""
+    key = tuple((tuple(a.shape), jnp.asarray(a).dtype.name)
+                for a in args[2:])
+    if key not in self._compiled:
+      self._compiled[key] = self._run.lower(*args).compile()
+    return self._compiled[key]
 
   def __call__(self, lefts: np.ndarray, rights: np.ndarray,
                rgbs: np.ndarray):
     """Returns (fused_depth (H, W), disparities (6, H, W), confs (6, H, W))."""
-    return self._run(self.disp_variables, self.fusion_variables,
-                     jnp.asarray(lefts), jnp.asarray(rights),
-                     jnp.asarray(rgbs))
+    args = (self.disp_variables, self.fusion_variables,
+            jnp.asarray(lefts), jnp.asarray(rights), jnp.asarray(rgbs))
+    return self._executable(args)(*args)
 
   def cost_analysis_flops(self, h: int = 1024, w: int = 512):
     """Analytic model FLOPs of one frame, from XLA's cost analysis."""
-    in_dtype = jnp.uint8 if self.uint8_inputs else jnp.float32
-    args = (self.disp_variables, self.fusion_variables,
-            jax.ShapeDtypeStruct((6, h, w, 3), in_dtype),
-            jax.ShapeDtypeStruct((6, h, w, 3), in_dtype),
-            jax.ShapeDtypeStruct((4, h, w, 3), in_dtype))
-    cost = self._run.lower(*args).compile().cost_analysis()
+    if self._compiled:
+      compiled = next(iter(self._compiled.values()))
+    else:
+      in_dtype = jnp.uint8 if self.uint8_inputs else jnp.float32
+      args = (self.disp_variables, self.fusion_variables,
+              jax.ShapeDtypeStruct((6, h, w, 3), in_dtype),
+              jax.ShapeDtypeStruct((6, h, w, 3), in_dtype),
+              jax.ShapeDtypeStruct((4, h, w, 3), in_dtype))
+      compiled = self._run.lower(*args).compile()
+    cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):
       cost = cost[0]
     return float(cost["flops"])
