@@ -84,11 +84,17 @@ class TwoStagePipeline:
   def __init__(self, disp_variables: Any, fusion_variables: Any,
                maxdisp: int = 192, max_depth: float = 1000.0,
                dtype=jnp.float32, stage1_chunk: int = 6,
-               uint8_inputs: bool = False):
+               uint8_inputs: bool = False, fusion_dtype=None):
     self.disp_model = ModeDisparity(maxdisp=maxdisp, out_conf=True)
     self.fusion_model = ModeFusion(max_depth=max_depth)
     if dtype == jnp.bfloat16:
       disp_variables = cast_conv_params(disp_variables, dtype)
+    # fusion_dtype: activation/param dtype for the fusion net (default =
+    # ``dtype``). The sigmoid x max_depth head stays f32 either way
+    # (models/fusion.py); the bridge z-buffer always runs f32.
+    self.fusion_dtype = fusion_dtype or dtype
+    if self.fusion_dtype == jnp.bfloat16:
+      fusion_variables = cast_conv_params(fusion_variables, jnp.bfloat16)
     self.disp_variables = disp_variables
     self.fusion_variables = fusion_variables
     self.dtype = dtype
@@ -113,11 +119,12 @@ class TwoStagePipeline:
       disp = jnp.concatenate(preds, 0)
       conf = jnp.concatenate(confs, 0)
       depths, confs1 = bridge_all_pairs(disp, conf)
+      fdt = self.fusion_dtype
       out = self.fusion_model.apply(
           fusion_vars,
-          [depths[k][None, :, :, None] for k in range(6)],
-          [confs1[k][None, :, :, None] for k in range(6)],
-          [rgbs[k][None] for k in range(4)],
+          [depths[k][None, :, :, None].astype(fdt) for k in range(6)],
+          [confs1[k][None, :, :, None].astype(fdt) for k in range(6)],
+          [rgbs[k][None].astype(fdt) for k in range(4)],
           train=False)
       return out[0, :, :, 0], disp, conf
 

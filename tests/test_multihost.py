@@ -36,7 +36,9 @@ def test_two_process_train_step():
   ]
   outs = []
   for p in procs:
-    out, _ = p.communicate(timeout=600)
+    # generous: the two workers compile a full train step each and share the
+    # machine with the rest of the suite (observed >10 min under full load)
+    out, _ = p.communicate(timeout=1800)
     outs.append(out)
   for p, out in zip(procs, outs):
     assert p.returncode == 0, f"worker failed:\n{out}"
