@@ -195,6 +195,16 @@ class Conv3dDFold(nn.Module):
 
     if (tuple(self.kernel) == (3, 3, 3) and tuple(self.stride) == (1, 1, 1)
         and tuple(self.pad) == (1, 1, 1)):
+      from mode_tpu.ops.pallas.conv3d_kernel import (
+          conv3d_ndhwc_fast, train_conv3d_eligible)
+      if train_conv3d_eligible(x.shape, self.features):
+        # single-chip training fast path: Pallas fwd + Pallas grad-input,
+        # XLA conv-backward-filter for grad-weight (custom_vjp)
+        y = conv3d_ndhwc_fast(x, w)
+        if self.use_bias:
+          b = self.param("bias", nn.initializers.zeros, (self.features,))
+          y = y + b.astype(y.dtype)
+        return y
       n, d, h, ww, c = x.shape
       xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
       dn = jax.lax.conv_dimension_numbers(

@@ -291,6 +291,21 @@ def conv3d_pallas_eligible(shape, kernel, stride, pad, cout) -> bool:
 
 _CONV3D_MODE = "auto"   # "auto" | "on" | "off"
 
+# Training fast path: set by the train-step builders (training.py) when the
+# step runs WITHOUT a device mesh. The Pallas custom-call cannot be
+# partitioned by the SPMD partitioner, so sharded (multi-chip) training
+# keeps the XLA conv path.
+_TRAIN_PALLAS = False
+
+
+def set_conv3d_train_pallas(enabled: bool):
+  global _TRAIN_PALLAS
+  _TRAIN_PALLAS = bool(enabled)
+
+
+def train_pallas_enabled() -> bool:
+  return _TRAIN_PALLAS
+
 
 def set_conv3d_pallas(mode: str):
   """Force/forbid/auto-select the Pallas conv3d fast path (tests)."""
@@ -314,3 +329,65 @@ def band_pallas_ok(x_shape, cout) -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
   except RuntimeError:
     return False
+
+
+# ---------------------------------------------------------------------------
+# Training path: custom-VJP stride-1 3x3x3 conv on NDHWC.
+#
+# Forward and grad-input both run the Pallas band kernel (the cotangent of a
+# stride-1 SAME conv is the same conv with the kernel spatially flipped and
+# in/out channels swapped — exact, not an approximation). Grad-weight is the
+# conv-backward-filter contraction expressed directly as one XLA conv (input
+# channels as the batch, the example batch as the contraction), the same
+# program autodiff would emit for the XLA path. CUDA counterpart: the
+# col2im/im2col backward pair, sphere_conv_cuda_kernel.cu:294-356.
+# ---------------------------------------------------------------------------
+
+
+def _ndhwc_pallas(x, w):
+  la = lane_axis_for(x.shape)
+  y = conv3d_band_pallas(to_lane_major(x, la), weight_lane_major(w, la))
+  return from_lane_major(y, la)
+
+
+@jax.custom_vjp
+def conv3d_ndhwc_fast(x, w):
+  """Stride-1 3x3x3 SAME conv, NDHWC, Pallas fwd/bwd (single chip)."""
+  return _ndhwc_pallas(x, w)
+
+
+def _conv3d_fast_fwd(x, w):
+  return _ndhwc_pallas(x, w), (x, w)
+
+
+def _conv3d_fast_bwd(res, g):
+  x, w = res
+  wt = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)        # (3,3,3,Cout,Cin)
+  dx = _ndhwc_pallas(g, wt)
+
+  prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+          else jax.lax.Precision.DEFAULT)
+  dn = lax.conv_dimension_numbers(x.shape, g.shape,
+                                  ("CDHWN", "IDHWO", "NDHWC"))
+  dw = lax.conv_general_dilated(
+      x, g, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=dn,
+      precision=prec)                                     # (Cin,3,3,3,Cout)
+  dw = jnp.transpose(dw, (1, 2, 3, 0, 4)).astype(w.dtype)
+  return dx.astype(x.dtype), dw
+
+
+conv3d_ndhwc_fast.defvjp(_conv3d_fast_fwd, _conv3d_fast_bwd)
+
+
+def train_conv3d_eligible(x_shape, cout) -> bool:
+  """Gate for the custom-VJP training conv (NDHWC shapes)."""
+  if not _TRAIN_PALLAS:
+    return False
+  b, d, h, w, c = x_shape
+  la = lane_axis_for(x_shape)
+  if la is None:
+    return False
+  m = h if la == 3 else w
+  # both fwd (c->cout) and grad-input (cout->c) must fit the kernel
+  return (band_pallas_ok((b, d, m, c, 128), cout) and
+          band_pallas_ok((b, d, m, cout, 128), c))

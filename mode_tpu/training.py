@@ -78,6 +78,16 @@ def make_disparity_train_step(model, optimizer,
   mixed-precision (bf16 activations/conv kernels, f32 master weights,
   f32 softmax/regression and loss)."""
 
+  # Pallas custom-VJP conv3d in training is OFF by default: measured 0.56 s
+  # vs 0.51 s for the XLA path at full-res B=1 — inside the differentiated
+  # graph XLA fuses BN/ReLU into its convs, and the unfused Pallas calls
+  # (plus per-call layout changes) cost more than their GEMMs save. The
+  # path stays available (tested by test_conv3d_custom_vjp_grads) for
+  # configs where it wins. It is only legal without a mesh: the SPMD
+  # partitioner cannot split the Pallas custom call.
+  from mode_tpu.ops.pallas.conv3d_kernel import set_conv3d_train_pallas
+  use_train_pallas = False
+
   def step(state: TrainState, left, right, disp_gt):
     mask = ~jnp.isnan(disp_gt)
     gt = jnp.where(mask, disp_gt, 0.0)
@@ -87,9 +97,13 @@ def make_disparity_train_step(model, optimizer,
                       if compute_dtype else params)
       l = left.astype(compute_dtype) if compute_dtype else left
       r = right.astype(compute_dtype) if compute_dtype else right
-      (p1, p2, p3), mut = model.apply(
-          {"params": apply_params, "batch_stats": state.batch_stats},
-          l, r, train=True, mutable=["batch_stats"])
+      set_conv3d_train_pallas(use_train_pallas)
+      try:
+        (p1, p2, p3), mut = model.apply(
+            {"params": apply_params, "batch_stats": state.batch_stats},
+            l, r, train=True, mutable=["batch_stats"])
+      finally:
+        set_conv3d_train_pallas(False)
       loss = disparity_deep_supervision((p1, p2, p3), gt, mask)
       return loss, mut["batch_stats"]
 
