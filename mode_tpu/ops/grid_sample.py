@@ -65,14 +65,25 @@ def sample_bilinear(img: jnp.ndarray,
       valid = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
       v = _gather_hw(img, jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1))
       return jnp.where(valid[..., None], v, 0.0)
-  else:
-    def corner(iy, ix):
-      return _gather_hw(img, jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1))
 
-  v00 = corner(y0i, x0i)
-  v01 = corner(y0i, x1i)
-  v10 = corner(y1i, x0i)
-  v11 = corner(y1i, x1i)
+    v00 = corner(y0i, x0i)
+    v01 = corner(y0i, x1i)
+    v10 = corner(y1i, x0i)
+    v11 = corner(y1i, x1i)
+  else:
+    # ONE gather of edge-padded 2x2 patches instead of four corner gathers:
+    # a TPU gather moves whole (lane-dim) rows per index, so a (HW, 4C) row
+    # costs about what a (HW, C) row does — ~4x fewer gather rows total.
+    c = img.shape[-1]
+    imgp = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    patches = jnp.concatenate(
+        [imgp[:-1, :-1], imgp[:-1, 1:], imgp[1:, :-1], imgp[1:, 1:]],
+        axis=-1).reshape(h * w, 4 * c)
+    y0c = jnp.clip(y0i, 0, h - 1)
+    x0c = jnp.clip(x0i, 0, w - 1)
+    v = jnp.take(patches, (y0c * w + x0c).reshape(-1), axis=0)
+    v = v.reshape(*y0i.shape, 4, c)
+    v00, v01, v10, v11 = v[..., 0, :], v[..., 1, :], v[..., 2, :], v[..., 3, :]
 
   wy = wy[..., None]
   wx = wx[..., None]
