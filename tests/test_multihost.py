@@ -21,7 +21,7 @@ def _free_port() -> int:
     return s.getsockname()[1]
 
 
-def test_two_process_train_step():
+def _run_workers():
   port = _free_port()
   coordinator = f"127.0.0.1:{port}"
   worker = os.path.join(HERE, "multihost_worker.py")
@@ -40,6 +40,15 @@ def test_two_process_train_step():
     # machine with the rest of the suite (observed >10 min under full load)
     out, _ = p.communicate(timeout=1800)
     outs.append(out)
+  return procs, outs
+
+
+def test_two_process_train_step():
+  # one retry: the coordinator handshake has its own internal timeouts and
+  # can trip when the whole suite saturates the machine's cores
+  procs, outs = _run_workers()
+  if any(p.returncode != 0 for p in procs):
+    procs, outs = _run_workers()
   for p, out in zip(procs, outs):
     assert p.returncode == 0, f"worker failed:\n{out}"
 
