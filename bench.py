@@ -130,16 +130,28 @@ def bench_train_step(jax, jnp):
       rng.uniform(1.0, 100.0, size=(1, h, w)).astype(np.float32))]
 
   _mark("train-step compile start")
-  state, loss = step(state, *batch)      # compile + warmup
+  # AOT: one lower+compile serves both the timed calls and cost_analysis
+  # (training's jit donates the state, so feed the returned state back)
+  flops = None
+  try:
+    compiled = step.lower(state, *batch).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+      cost = cost[0]
+    flops = float(cost["flops"])
+    run = compiled
+  except Exception:
+    run = step
+  state, loss = run(state, *batch)       # warmup
   _ = float(loss)
   _mark("train-step compile done")
   times = []
   for _i in range(3):
     t0 = time.time()
-    state, loss = step(state, *batch)
+    state, loss = run(state, *batch)
     _ = float(loss)                       # host readback = sync point
     times.append(time.time() - t0)
-  return float(np.median(times))
+  return float(np.median(times)), flops
 
 
 def main():
@@ -157,13 +169,17 @@ def main():
 
   pipe_s, pipe_flops = bench_pipeline(jax, jnp)
   fps = 1.0 / pipe_s
-  train_s = bench_train_step(jax, jnp)
+  train_s, train_flops = bench_train_step(jax, jnp)
 
   extras = {"train_step_s": round(train_s, 4)}
   if pipe_flops:
     extras["pipeline_mfu_pct"] = round(
         100.0 * pipe_flops / pipe_s / (PEAK_BF16_TFLOPS * 1e12), 2)
     extras["pipeline_tflops"] = round(pipe_flops / 1e12, 3)
+  if train_flops:
+    extras["train_mfu_pct"] = round(
+        100.0 * train_flops / train_s / (PEAK_BF16_TFLOPS * 1e12), 2)
+    extras["train_tflops"] = round(train_flops / 1e12, 3)
 
   print(json.dumps({
       "metric": "two_stage_pipeline_frames_per_sec_per_chip",
