@@ -161,8 +161,12 @@ def main():
   # Persistent compilation cache: the fused pipeline + train step compile in
   # ~9 min cold; warm runs (e.g. the driver's round-end bench after this
   # script ran during development) reuse the serialized executables.
+  import os
+  cache_dir = os.environ.get(
+      "JAX_COMPILATION_CACHE_DIR",
+      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
   try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
   except Exception:
     pass

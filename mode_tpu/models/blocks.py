@@ -172,12 +172,22 @@ class Conv3dDFold(nn.Module):
     if lane_fused is not None:
       from mode_tpu.ops.pallas.conv3d_kernel import (
           conv3d_band_pallas, weight_lane_major)
+      from mode_tpu.parallel.mesh import active_mesh
       assert tuple(self.kernel) == (3, 3, 3)
       assert tuple(self.stride) == (1, 1, 1) and tuple(self.pad) == (1, 1, 1)
       assert not self.use_bias
+      wl = weight_lane_major(w, lane_fused["lane_axis"])
+      mesh = active_mesh()
+      if mesh is not None and mesh.size > 1:
+        # SPMD: the Pallas custom call has no partitioning rule — run it
+        # shard-local (B over 'data', band axis over 'spatial' with an ICI
+        # halo exchange) via the shard_map wrapper
+        from mode_tpu.parallel.shard_ops import conv3d_band_sharded
+        return conv3d_band_sharded(
+            x, wl, lane_fused.get("scale"), lane_fused.get("bias"),
+            lane_fused.get("residual"), lane_fused.get("relu", False), mesh)
       return conv3d_band_pallas(
-          x, weight_lane_major(w, lane_fused["lane_axis"]),
-          lane_fused.get("scale"), lane_fused.get("bias"),
+          x, wl, lane_fused.get("scale"), lane_fused.get("bias"),
           lane_fused.get("residual"), relu=lane_fused.get("relu", False))
 
     if lane_xla is not None:
@@ -357,7 +367,8 @@ def convbn_3d_lane(x, features, kernel, stride, pad, prefix, *, in_lane,
   conv = Conv3dDFold(features, (kernel,) * 3, (stride,) * 3, (pad,) * 3,
                      name=f"{prefix}.0")
   if (kernel == 3 and stride == 1 and pad == 1 and out_lane == in_lane
-      and band_pallas_ok(x.shape, features)):
+      and band_pallas_ok(x.shape, features, jnp.dtype(x.dtype).itemsize,
+                         residual is not None)):
     return conv(x, lane_fused=dict(lane_axis=3 if in_lane == "W" else 2,
                                    scale=scale, bias=bias,
                                    residual=residual, relu=relu))

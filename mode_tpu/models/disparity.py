@@ -189,6 +189,15 @@ def _fused_regression_eligible(cost, maxdisp, h, w) -> bool:
     return False
   if cost.shape[1] % 8 != 0 or cost.shape[3] % 128 != 0:
     return False
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
+    # SPMD routes through fused_regression_sharded: B over 'data', output
+    # rows over 'spatial' (TY=8 rows per grid step per shard)
+    dp = mesh.shape.get("data", 1)
+    sp = mesh.shape.get("spatial", 1)
+    if cost.shape[0] % dp != 0 or h % (8 * sp) != 0:
+      return False
   if _FUSED_REGRESSION == "on":
     return True
   try:
@@ -197,12 +206,24 @@ def _fused_regression_eligible(cost, maxdisp, h, w) -> bool:
     return False
 
 
-def _lane_mid_eligible(cost_shape) -> bool:
+def _fused_regression(cost_q, maxdisp, h, w):
+  """Dispatch the fused regression head (shard_map wrapper under a mesh)."""
+  from mode_tpu.ops.pallas.regression_kernel import fused_disparity_regression
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
+    from mode_tpu.parallel.shard_ops import fused_regression_sharded
+    return fused_regression_sharded(cost_q, maxdisp, h, w, mesh)
+  return fused_disparity_regression(cost_q, maxdisp, h, w)
+
+
+def _lane_mid_eligible(cost_shape, dtype) -> bool:
   """Can the eval cost-volume stack run lane-major (W on TPU lanes)?"""
   from mode_tpu.ops.pallas.conv3d_kernel import band_pallas_ok
   b, d, hh, ww, c = cost_shape
   return (d % 4 == 0 and hh % 4 == 0 and
-          band_pallas_ok((b, d, hh, 32, ww), 32))
+          band_pallas_ok((b, d, hh, 32, ww), 32,
+                         jnp.dtype(dtype).itemsize))
 
 
 def disparity_regression(prob: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
@@ -270,7 +291,7 @@ class ModeDisparity(nn.Module):
 
     h, w = left.shape[1], left.shape[2]
 
-    if not train and _lane_mid_eligible(cost.shape):
+    if not train and _lane_mid_eligible(cost.shape, cost.dtype):
       # eval fast path: the whole cost-volume stack runs lane-major
       # (B, D, H, C, W) with W on the TPU lanes — stride-1 3x3x3 convs hit
       # the fused Pallas kernel, stride-2/deconvs run XLA convs with custom
@@ -302,7 +323,8 @@ class ModeDisparity(nn.Module):
                            relu=True)
         head = Conv3dDFold(1, (3, 3, 3), (1, 1, 1), (1, 1, 1),
                            name=f"{prefix}.2")
-        if band_pallas_ok(y.shape, 8):            # cout padded 1 -> 8
+        if band_pallas_ok(y.shape, 8,             # cout padded 1 -> 8
+                          jnp.dtype(y.dtype).itemsize):
           y = head(y, lane_fused=dict(lane_axis=3))
         else:
           y = head(y, lane_xla=("W", "W"))
@@ -313,9 +335,7 @@ class ModeDisparity(nn.Module):
       cost3 = classif_lane(out3, "classif3") + cost2
 
       if _fused_regression_eligible(cost3[..., None], self.maxdisp, h, w):
-        from mode_tpu.ops.pallas.regression_kernel import (
-            fused_disparity_regression)
-        pred3, conf = fused_disparity_regression(cost3, self.maxdisp, h, w)
+        pred3, conf = _fused_regression(cost3, self.maxdisp, h, w)
         if self.out_conf:
           return pred3, conf
         return pred3
@@ -365,10 +385,7 @@ class ModeDisparity(nn.Module):
       return reg(cost1), reg(cost2), reg(cost3)
 
     if _fused_regression_eligible(cost3, self.maxdisp, h, w):
-      from mode_tpu.ops.pallas.regression_kernel import (
-          fused_disparity_regression)
-      pred3, conf = fused_disparity_regression(cost3[..., 0], self.maxdisp,
-                                               h, w)
+      pred3, conf = _fused_regression(cost3[..., 0], self.maxdisp, h, w)
       if self.out_conf:
         return pred3, conf
       return pred3

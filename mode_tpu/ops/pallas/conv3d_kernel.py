@@ -139,7 +139,8 @@ def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
                        scale: jnp.ndarray | None = None,
                        bias: jnp.ndarray | None = None,
                        residual: jnp.ndarray | None = None,
-                       relu: bool = False) -> jnp.ndarray:
+                       relu: bool = False, m_halo: bool = False
+                       ) -> jnp.ndarray:
   """Fused stride-1 3x3x3 conv (+affine +residual +ReLU), lane-major.
 
   Args:
@@ -149,10 +150,15 @@ def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
     scale, bias: optional (Cout,) f32 epilogue affine (folded BatchNorm).
     residual: optional (B, D, M, Cout, L) added before ReLU.
     relu: apply ReLU in the epilogue.
+    m_halo: ``x`` already carries its ±1 M halo rows (SPMD shard-local call:
+      the neighbours' boundary planes were exchanged over ICI by the caller,
+      ``parallel/shard_ops.py``); the output then has M-2 rows.
   Returns:
-    (B, D, M, Cout, L) in x.dtype.
+    (B, D, M_out, Cout, L) in x.dtype (M_out = M - 2 when ``m_halo``).
   """
   b, d, m, cin, lanes = x.shape
+  if m_halo:
+    m = m - 2
   kd, kh, kw, wcin, cout = weight.shape
   assert (kd, kh, kw) == (3, 3, 3) and wcin == cin
   if cout < 8:
@@ -168,7 +174,8 @@ def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
     if residual is not None:
       residual = jnp.pad(residual,
                          ((0, 0),) * 3 + ((0, pad_to - cout), (0, 0)))
-    y = conv3d_band_pallas(x, weight, scale, bias, residual, relu)
+    y = conv3d_band_pallas(x, weight, scale, bias, residual, relu,
+                           m_halo=m_halo)
     return y[:, :, :, :cout]
   assert lanes % 128 == 0 and cin % 8 == 0 and cout % 8 == 0
   itemsize = jnp.dtype(x.dtype).itemsize
@@ -191,7 +198,9 @@ def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   ])[:, :, None]                                       # (2, Cout, 1)
 
   # pad D/M halos and flatten (M, C) so a kh-window is one sublane slice
-  xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+  # (when m_halo, the M halo rows arrived with the input)
+  m_pad = (0, 0) if m_halo else (1, 1)
+  xp = jnp.pad(x, ((0, 0), (1, 1), m_pad, (0, 0), (0, 0)))
   xp = xp.reshape(b, d + 2, (m + 2) * cin, lanes)
 
   has_res = residual is not None
@@ -314,14 +323,30 @@ def set_conv3d_pallas(mode: str):
   _CONV3D_MODE = mode
 
 
-def band_pallas_ok(x_shape, cout) -> bool:
-  """Can :func:`conv3d_band_pallas` run on this lane-major (B,D,M,C,L)?"""
+def band_pallas_ok(x_shape, cout, itemsize: int = 2,
+                   has_res: bool = False) -> bool:
+  """Can :func:`conv3d_band_pallas` run on this lane-major (B,D,M,C,L)?
+
+  ``itemsize``/``has_res`` must describe the actual call (the block probe
+  evaluates the same configuration the kernel will run). Under an active
+  device mesh the call is routed through the shard_map wrapper
+  (``parallel/shard_ops.py``), so the mesh axes must divide (B, M) and the
+  probe runs on the shard-local M.
+  """
   if _CONV3D_MODE == "off":
     return False
   b, d, m, c, lanes = x_shape
   if lanes % 128 != 0 or c % 8 != 0 or cout % 8 != 0:
     return False
-  if _pick_blocks(d, m, c, cout, lanes, 2, False) is None:
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
+    dp = mesh.shape.get("data", 1)
+    sp = mesh.shape.get("spatial", 1)
+    if b % dp != 0 or m % sp != 0:
+      return False
+    m = m // sp
+  if _pick_blocks(d, m, c, max(cout, 8), lanes, itemsize, has_res) is None:
     return False
   if _CONV3D_MODE == "on":
     return True
@@ -380,8 +405,15 @@ conv3d_ndhwc_fast.defvjp(_conv3d_fast_fwd, _conv3d_fast_bwd)
 
 
 def train_conv3d_eligible(x_shape, cout) -> bool:
-  """Gate for the custom-VJP training conv (NDHWC shapes)."""
+  """Gate for the custom-VJP training conv (NDHWC shapes). Only legal
+  without a device mesh: the SPMD partitioner cannot split the Pallas
+  custom call, and the training path has no shard_map wrapper (it loses
+  to XLA single-chip already, training.py)."""
   if not _TRAIN_PALLAS:
+    return False
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
     return False
   b, d, h, w, c = x_shape
   la = lane_axis_for(x_shape)

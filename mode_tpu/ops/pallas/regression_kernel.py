@@ -105,7 +105,8 @@ def _kernel(ys_ref, cost_ref, md_ref, mhw_ref, mxt_ref,
 
 
 def fused_disparity_regression(cost_q: jnp.ndarray, maxdisp: int,
-                               h: int, w: int
+                               h: int, w: int, *, ys=None, mh_win=None,
+                               h_out: int | None = None
                                ) -> tuple[jnp.ndarray, jnp.ndarray]:
   """Fused upsample + softmax + soft-argmin + confidence.
 
@@ -114,12 +115,19 @@ def fused_disparity_regression(cost_q: jnp.ndarray, maxdisp: int,
       squeezed), float32 or bfloat16. D must be a multiple of 8 and Wq a
       multiple of 128 (the production 48 / 128).
     maxdisp / h / w: full-resolution target sizes.
+    ys, mh_win, h_out: optional shard-local row-window tables (a slice of
+      this function's own global tables) — the SPMD wrapper
+      (``parallel/shard_ops.py``) passes each device's window so it emits
+      only its ``h_out`` rows of the full-``h`` output.
   Returns:
-    (pred, conf), each (N, h, w) float32.
+    (pred, conf), each (N, h_out or h, w) float32.
   """
   n, d_in, hq, wq = cost_q.shape
-  assert h % TY == 0 and d_in % 8 == 0 and wq % 128 == 0
-  md, mx_t, ys, mh_win, wy = _tables(d_in, hq, wq, maxdisp, h, w)
+  md, mx_t, ys_g, mh_g, wy = _tables(d_in, hq, wq, maxdisp, h, w)
+  if ys is None:
+    ys, mh_win = jnp.asarray(ys_g), jnp.asarray(mh_g)
+    h_out = h
+  assert h_out % TY == 0 and d_in % 8 == 0 and wq % 128 == 0
   dtype = cost_q.dtype
 
   # layout (N, Hq, D, Wq): dynamic H-window on an untiled major dim,
@@ -128,11 +136,11 @@ def fused_disparity_regression(cost_q: jnp.ndarray, maxdisp: int,
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=1,
-      grid=(n, h // TY),
+      grid=(n, h_out // TY),
       in_specs=[
           pl.BlockSpec(memory_space=pl.ANY),
           pl.BlockSpec((maxdisp, d_in), lambda i, t, *_: (0, 0)),
-          pl.BlockSpec((h // TY, TY, wy), lambda i, t, *_: (0, 0, 0)),
+          pl.BlockSpec((h_out // TY, TY, wy), lambda i, t, *_: (0, 0, 0)),
           pl.BlockSpec((wq, w), lambda i, t, *_: (0, 0)),
       ],
       out_specs=[
@@ -150,14 +158,14 @@ def fused_disparity_regression(cost_q: jnp.ndarray, maxdisp: int,
   pred, conf = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
-      out_shape=[jax.ShapeDtypeStruct((n, h, w), jnp.float32),
-                 jax.ShapeDtypeStruct((n, h, w), jnp.float32)],
+      out_shape=[jax.ShapeDtypeStruct((n, h_out, w), jnp.float32),
+                 jax.ShapeDtypeStruct((n, h_out, w), jnp.float32)],
       cost_estimate=pl.CostEstimate(
-          flops=2 * n * h * w * maxdisp * (wq // 16),
-          bytes_accessed=cost_q.size * 4 + 2 * n * h * w * 4,
-          transcendentals=n * h * w * maxdisp),
-  )(jnp.asarray(ys), cost_hdw,
+          flops=2 * n * h_out * w * maxdisp * (wq // 16),
+          bytes_accessed=cost_q.size * 4 + 2 * n * h_out * w * 4,
+          transcendentals=n * h_out * w * maxdisp),
+  )(ys, cost_hdw,
     jnp.asarray(md).astype(dtype),            # (D, d_in)
-    jnp.asarray(mh_win),
+    mh_win,
     jnp.asarray(mx_t).astype(dtype))
   return pred, conf

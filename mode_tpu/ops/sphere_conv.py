@@ -283,6 +283,10 @@ def set_pallas_backward(on: bool):
   _PALLAS_BWD = bool(on)
 
 
+def pallas_backward_enabled() -> bool:
+  return _PALLAS_BWD
+
+
 def _fast_bwd(static, res, g):
   x, weight = res
   sphere_type, stride, pad, dilation, precision = static
@@ -315,10 +319,19 @@ def sphere_conv(x: jnp.ndarray, weight: jnp.ndarray,
     ``(N, Ho, Wo, Cout)``.
   """
   kh, kw = weight.shape[0], weight.shape[1]
+  out = None
   if _pallas_eligible(x, kh, kw, sphere_type, stride, pad, dilation):
-    out = _sphere_conv_fast(x, weight,
-                            (sphere_type, stride, pad, dilation, precision))
-  else:
+    static = (sphere_type, stride, pad, dilation, precision)
+    from mode_tpu.parallel.mesh import active_mesh
+    mesh = active_mesh()
+    if mesh is None or mesh.size == 1:
+      out = _sphere_conv_fast(x, weight, static)
+    elif x.shape[0] % mesh.shape.get("data", 1) == 0:
+      # under a mesh the Pallas custom call cannot be auto-partitioned —
+      # route through the shard_map wrapper (batch over 'data', psum'd dw)
+      from mode_tpu.parallel.shard_ops import sphere_conv_fast_sharded
+      out = sphere_conv_fast_sharded(x, weight, static, mesh)
+  if out is None:
     out = sphere_conv_xla(x, weight, sphere_type=sphere_type, stride=stride,
                           pad=pad, dilation=dilation, precision=precision)
   if bias is not None:

@@ -15,6 +15,13 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+  """Run the multihost test FIRST: its two subprocess workers each compile a
+  train step, and sharing the host with the rest of the suite has tripped
+  the DCN coordinator's internal handshake timeouts (round-2 flake)."""
+  items.sort(key=lambda it: 0 if "test_multihost" in it.nodeid else 1)
+
+
 @pytest.fixture
 def rng():
   return np.random.default_rng(0)

@@ -43,11 +43,27 @@ def _run_workers():
   return procs, outs
 
 
+# signatures of the one failure mode worth retrying: the DCN coordinator
+# handshake timing out because the host is saturated. Anything else (a real
+# coordination/train regression) must fail loudly on the first attempt.
+_HANDSHAKE_FAILURES = (
+    "Deadline", "DEADLINE_EXCEEDED", "UNAVAILABLE",
+    "failed to connect to coordination service",
+    "Coordination service", "barrier timed out",
+)
+
+
 def test_two_process_train_step():
-  # one retry: the coordinator handshake has its own internal timeouts and
-  # can trip when the whole suite saturates the machine's cores
+  # this test is scheduled FIRST in the suite (tests/conftest.py ordering
+  # hook) so its two workers don't share the host with 90 other tests; the
+  # retry below is therefore narrow — handshake-timeout signatures only —
+  # and always prints the first attempt's output
   procs, outs = _run_workers()
-  if any(p.returncode != 0 for p in procs):
+  if (any(p.returncode != 0 for p in procs)
+      and any(sig in out for out in outs for sig in _HANDSHAKE_FAILURES)):
+    print("multihost handshake-timeout retry; first attempt output:")
+    for out in outs:
+      print(out)
     procs, outs = _run_workers()
   for p, out in zip(procs, outs):
     assert p.returncode == 0, f"worker failed:\n{out}"
