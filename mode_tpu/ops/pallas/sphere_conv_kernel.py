@@ -462,6 +462,113 @@ def _bwd_weight_kernel(sd_ref, cols_ref, quad_ref,               # prefetch
     dw_ref[:] = dw_ref[:] + update
 
 
+def _run_bwd(x_bcl, g_bcl, weight, tables, *, n, band, lanes, cin, cout, kk,
+             block_j, dtype):
+  """Layout-generic backward launcher on band-major operands.
+
+  Args:
+    x_bcl: (N, band+4, Cin, lanes) ±2-band-padded forward input;
+    g_bcl: (N, band, Cout, lanes) cotangent;
+    weight: (Kh, Kw, Cin, Cout); tables: packed per-(band index, tap) scalars.
+  Returns:
+    (dx_bcl (N, band, Cin, lanes) in ``dtype``, dw_t (Cout, K*Cin) f32).
+  Cassini maps (band, lanes) = (W, H); ERP maps (band, lanes) = (H, W) —
+  the kernels themselves are layout-blind (same abstract semantics as the
+  shared forward ``_kernel``).
+  """
+  itemsize = jnp.dtype(dtype).itemsize
+  h = lanes
+
+  # --- grad wrt input ------------------------------------------------------
+  w_kc = weight.reshape(kk * cin, cout).astype(dtype)
+
+  def dx_vmem(bj):
+    return (3 * cout * bj * h * itemsize +          # g block x2 + gflat
+            kk * cin * bj * h * 4 +                 # dcol (f32)
+            2 * (bj + 4) * cin * h * 4 +            # dband + dbandr (f32)
+            3 * (bj + 4) * cin * h * itemsize +     # halo output block x3
+            2 * kk * cin * cout * itemsize)         # weights x2
+
+  bj = block_j
+  while dx_vmem(bj) > 11 * 2**20 and bj > 2:
+    bj //= 2
+  assert band % bj == 0, (band, bj)
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=3,
+      grid=(n, band // bj),
+      in_specs=[
+          pl.BlockSpec((1, bj, cout, h), lambda i, j, *_: (i, j, 0, 0)),
+          pl.BlockSpec((kk * cin, cout), lambda i, j, *_: (0, 0)),
+      ],
+      out_specs=pl.BlockSpec((1, 1, bj + 4, cin, h),
+                             lambda i, j, *_: (i, j, 0, 0, 0)),
+      scratch_shapes=[
+          pltpu.VMEM((cout, bj * h), dtype),
+          pltpu.VMEM((kk * cin, bj * h), jnp.float32),
+          pltpu.VMEM((bj + 4, cin, h), jnp.float32),
+          pltpu.VMEM((bj + 4, cin, h), jnp.float32),
+      ],
+  )
+  nb = band // bj
+  halo = pl.pallas_call(
+      functools.partial(_bwd_input_kernel, h=h, cin=cin, cout=cout, kk=kk,
+                        bj=bj),
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct((n, nb, bj + 4, cin, h), jnp.float32),
+      cost_estimate=pl.CostEstimate(
+          flops=2 * n * band * lanes * kk * cin * cout,
+          bytes_accessed=2 * g_bcl.size * itemsize, transcendentals=0),
+  )(*tables, g_bcl, w_kc)
+
+  # overlap-add the ±2-band halos between neighbouring blocks
+  dx_bcl = halo[:, :, 2:2 + bj].reshape(n, band, cin, h)
+  dx_bcl = dx_bcl.reshape(n, nb, bj, cin, h)
+  dx_bcl = dx_bcl.at[:, :-1, bj - 2:].add(halo[:, 1:, :2])
+  dx_bcl = dx_bcl.at[:, 1:, :2].add(halo[:, :-1, bj + 2:])
+  dx_bcl = dx_bcl.reshape(n, band, cin, h).astype(dtype)
+
+  # --- grad wrt weight -----------------------------------------------------
+  def dw_vmem(bj):
+    return (2 * (bj + 4) * cin * h * itemsize +     # band + rolled band
+            kk * cin * bj * h * itemsize +          # im2col scratch
+            3 * cout * bj * h * itemsize +          # g block x2 + gflat
+            cout * kk * cin * 4)                    # f32 dw accumulator
+
+  bjw = block_j
+  while dw_vmem(bjw) > 11 * 2**20 and bjw > 2:
+    bjw //= 2
+  assert band % bjw == 0, (band, bjw)
+
+  grid_spec_w = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=3,
+      grid=(n, band // bjw),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec((1, bjw, cout, h), lambda i, j, *_: (i, j, 0, 0)),
+      ],
+      out_specs=pl.BlockSpec((cout, kk * cin), lambda i, j, *_: (0, 0)),
+      scratch_shapes=[
+          pltpu.VMEM((bjw + 4, cin, h), dtype),
+          pltpu.VMEM((bjw + 4, cin, h), dtype),
+          pltpu.VMEM((kk * cin, bjw * h), dtype),
+          pltpu.VMEM((cout, bjw * h), dtype),
+          pltpu.SemaphoreType.DMA,
+      ],
+  )
+  dw_t = pl.pallas_call(
+      functools.partial(_bwd_weight_kernel, h=h, cin=cin, cout=cout, kk=kk,
+                        bj=bjw),
+      grid_spec=grid_spec_w,
+      out_shape=jax.ShapeDtypeStruct((cout, kk * cin), jnp.float32),
+      cost_estimate=pl.CostEstimate(
+          flops=2 * n * band * lanes * kk * cin * cout,
+          bytes_accessed=(x_bcl.size + g_bcl.size) * itemsize,
+          transcendentals=0),
+  )(*tables, x_bcl, g_bcl)
+  return dx_bcl, dw_t
+
+
 def sphere_conv_cassini_pallas_bwd(x: jnp.ndarray, weight: jnp.ndarray,
                                    g: jnp.ndarray, block_j: int = 8
                                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -484,97 +591,44 @@ def sphere_conv_cassini_pallas_bwd(x: jnp.ndarray, weight: jnp.ndarray,
   tables = _pack_tables(sigma, colint_t, quad_t, drop_row, w, kk)
 
   g_wch = jnp.transpose(g, (0, 2, 3, 1))            # (N, W, Cout, H)
-  itemsize = jnp.dtype(x.dtype).itemsize
-
-  # --- grad wrt input ------------------------------------------------------
-  w_kc = weight.reshape(kk * cin, cout).astype(x.dtype)
-
-  def dx_vmem(bj):
-    return (3 * cout * bj * h * itemsize +          # g block x2 + gflat
-            kk * cin * bj * h * 4 +                 # dcol (f32)
-            2 * (bj + 4) * cin * h * 4 +            # dband + dbandr (f32)
-            3 * (bj + 4) * cin * h * itemsize +     # halo output block x3
-            2 * kk * cin * cout * itemsize)         # weights x2
-
-  bj = block_j
-  while dx_vmem(bj) > 11 * 2**20 and bj > 2:
-    bj //= 2
-  assert w % bj == 0, (w, bj)
-
-  grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=3,
-      grid=(n, w // bj),
-      in_specs=[
-          pl.BlockSpec((1, bj, cout, h), lambda i, j, *_: (i, j, 0, 0)),
-          pl.BlockSpec((kk * cin, cout), lambda i, j, *_: (0, 0)),
-      ],
-      out_specs=pl.BlockSpec((1, 1, bj + 4, cin, h),
-                             lambda i, j, *_: (i, j, 0, 0, 0)),
-      scratch_shapes=[
-          pltpu.VMEM((cout, bj * h), x.dtype),
-          pltpu.VMEM((kk * cin, bj * h), jnp.float32),
-          pltpu.VMEM((bj + 4, cin, h), jnp.float32),
-          pltpu.VMEM((bj + 4, cin, h), jnp.float32),
-      ],
-  )
-  nb = w // bj
-  halo = pl.pallas_call(
-      functools.partial(_bwd_input_kernel, h=h, cin=cin, cout=cout, kk=kk,
-                        bj=bj),
-      grid_spec=grid_spec,
-      out_shape=jax.ShapeDtypeStruct((n, nb, bj + 4, cin, h), jnp.float32),
-      cost_estimate=pl.CostEstimate(
-          flops=2 * n * h * w * kk * cin * cout,
-          bytes_accessed=2 * g.size * itemsize, transcendentals=0),
-  )(*tables, g_wch, w_kc)
-
-  # overlap-add the ±2-column halos between neighbouring blocks
-  dx_wch = halo[:, :, 2:2 + bj].reshape(n, w, cin, h)
-  dx_wch = dx_wch.reshape(n, nb, bj, cin, h)
-  dx_wch = dx_wch.at[:, :-1, bj - 2:].add(halo[:, 1:, :2])
-  dx_wch = dx_wch.at[:, 1:, :2].add(halo[:, :-1, bj + 2:])
-  dx = jnp.transpose(dx_wch.reshape(n, w, cin, h), (0, 3, 1, 2))
-
-  # --- grad wrt weight -----------------------------------------------------
   x_wch = jnp.transpose(x, (0, 2, 3, 1))
   x_wch = jnp.pad(x_wch, ((0, 0), (2, 2), (0, 0), (0, 0)))
 
-  def dw_vmem(bj):
-    return (2 * (bj + 4) * cin * h * itemsize +     # band + rolled band
-            kk * cin * bj * h * itemsize +          # im2col scratch
-            3 * cout * bj * h * itemsize +          # g block x2 + gflat
-            cout * kk * cin * 4)                    # f32 dw accumulator
-
-  bjw = block_j
-  while dw_vmem(bjw) > 11 * 2**20 and bjw > 2:
-    bjw //= 2
-  assert w % bjw == 0, (w, bjw)
-
-  grid_spec_w = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=3,
-      grid=(n, w // bjw),
-      in_specs=[
-          pl.BlockSpec(memory_space=pl.ANY),
-          pl.BlockSpec((1, bjw, cout, h), lambda i, j, *_: (i, j, 0, 0)),
-      ],
-      out_specs=pl.BlockSpec((cout, kk * cin), lambda i, j, *_: (0, 0)),
-      scratch_shapes=[
-          pltpu.VMEM((bjw + 4, cin, h), x.dtype),
-          pltpu.VMEM((bjw + 4, cin, h), x.dtype),
-          pltpu.VMEM((kk * cin, bjw * h), x.dtype),
-          pltpu.VMEM((cout, bjw * h), x.dtype),
-          pltpu.SemaphoreType.DMA,
-      ],
-  )
-  dw_t = pl.pallas_call(
-      functools.partial(_bwd_weight_kernel, h=h, cin=cin, cout=cout, kk=kk,
-                        bj=bjw),
-      grid_spec=grid_spec_w,
-      out_shape=jax.ShapeDtypeStruct((cout, kk * cin), jnp.float32),
-      cost_estimate=pl.CostEstimate(
-          flops=2 * n * h * w * kk * cin * cout,
-          bytes_accessed=(x.size + g.size) * itemsize, transcendentals=0),
-  )(*tables, x_wch, g_wch)
-
+  dx_wch, dw_t = _run_bwd(x_wch, g_wch, weight, tables, n=n, band=w, lanes=h,
+                          cin=cin, cout=cout, kk=kk, block_j=block_j,
+                          dtype=x.dtype)
+  dx = jnp.transpose(dx_wch, (0, 3, 1, 2))
   dweight = dw_t.T.reshape(kh, kw, cin, cout).astype(weight.dtype)
-  return dx.astype(x.dtype), dweight
+  return dx, dweight
+
+
+def sphere_conv_erp_pallas_bwd(x: jnp.ndarray, weight: jnp.ndarray,
+                               g: jnp.ndarray, block_j: int = 8
+                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+  """Backward pass of :func:`sphere_conv_erp_pallas` (the CUDA counterpart
+  covers every layout in one col2im kernel,
+  ``sphere_conv_cuda_kernel.cu:294-356``).
+
+  The ERP forward runs the *same* abstract kernel as Cassini with
+  (band, lanes) = (H, W) and ERP shift tables, so its transpose is the same
+  backward pair under the same substitution — only the host-side transposes
+  differ.
+  """
+  n, h, w, cin = x.shape
+  kh, kw, wcin, cout = weight.shape
+  kk = kh * kw
+  assert g.shape == (n, h, w, cout), g.shape
+
+  sigma, rowint_t, quad_t, drop_col = build_shift_tables_erp(h, w, kh)
+  tables = _pack_tables(sigma, rowint_t, quad_t, drop_col, h, kk)
+
+  g_hcw = jnp.transpose(g, (0, 1, 3, 2))            # (N, H, Cout, W)
+  x_hcw = jnp.transpose(x, (0, 1, 3, 2))
+  x_hcw = jnp.pad(x_hcw, ((0, 0), (2, 2), (0, 0), (0, 0)))
+
+  dx_hcw, dw_t = _run_bwd(x_hcw, g_hcw, weight, tables, n=n, band=h, lanes=w,
+                          cin=cin, cout=cout, kk=kk, block_j=block_j,
+                          dtype=x.dtype)
+  dx = jnp.transpose(dx_hcw, (0, 1, 3, 2))
+  dweight = dw_t.T.reshape(kh, kw, cin, cout).astype(weight.dtype)
+  return dx, dweight

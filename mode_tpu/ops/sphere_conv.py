@@ -294,6 +294,10 @@ def _fast_bwd(static, res, g):
     from mode_tpu.ops.pallas.sphere_conv_kernel import (
         sphere_conv_cassini_pallas_bwd)
     return sphere_conv_cassini_pallas_bwd(x, weight, g)
+  if _PALLAS_BWD and sphere_type == "ERP":
+    from mode_tpu.ops.pallas.sphere_conv_kernel import (
+        sphere_conv_erp_pallas_bwd)
+    return sphere_conv_erp_pallas_bwd(x, weight, g)
   _, vjp = jax.vjp(
       lambda xx, ww: sphere_conv_xla(xx, ww, sphere_type=sphere_type,
                                      stride=stride, pad=pad,

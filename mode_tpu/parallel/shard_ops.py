@@ -116,6 +116,8 @@ def _sphere_bwd(static, mesh, res, g):
   def body(xx, ww, gg):
     if sc.pallas_backward_enabled() and sphere_type == "Cassini":
       dx, dw = sck.sphere_conv_cassini_pallas_bwd(xx, ww, gg)
+    elif sc.pallas_backward_enabled() and sphere_type == "ERP":
+      dx, dw = sck.sphere_conv_erp_pallas_bwd(xx, ww, gg)
     else:
       _, vjp = jax.vjp(
           lambda a, b: sc.sphere_conv_xla(

@@ -66,6 +66,25 @@ def test_pallas_backward_matches_xla_vjp(rng, h, w, cin, cout, bj):
   np.testing.assert_allclose(np.asarray(dx), dx_ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("h,w,cin,cout,bj", [(16, 32, 8, 16, 8),
+                                             (32, 64, 16, 8, 4)])
+def test_pallas_erp_backward_matches_xla_vjp(rng, h, w, cin, cout, bj):
+  """ERP (dx, dw) from the shared transposed kernels vs the XLA VJP."""
+  x = rng.normal(size=(2, h, w, cin)).astype(np.float32)
+  wgt = (rng.normal(size=(3, 3, cin, cout)) * 0.2).astype(np.float32)
+  g = rng.normal(size=(2, h, w, cout)).astype(np.float32)
+
+  _, vjp = jax.vjp(lambda xx, ww: sphere_conv_xla(xx, ww, sphere_type="ERP"),
+                   jnp.asarray(x), jnp.asarray(wgt))
+  dx_ref, dw_ref = (np.asarray(t) for t in vjp(jnp.asarray(g)))
+
+  with _interpret_pallas():
+    dx, dw = sck.sphere_conv_erp_pallas_bwd(
+        jnp.asarray(x), jnp.asarray(wgt), jnp.asarray(g), block_j=bj)
+  np.testing.assert_allclose(np.asarray(dw), dw_ref, rtol=2e-4, atol=2e-4)
+  np.testing.assert_allclose(np.asarray(dx), dx_ref, rtol=2e-4, atol=2e-4)
+
+
 def test_fast_path_custom_vjp_uses_pallas(rng):
   """The dispatched sphere_conv's grads equal the XLA path's end to end."""
   import importlib
