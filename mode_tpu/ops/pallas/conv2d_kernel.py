@@ -1,0 +1,279 @@
+"""Pallas TPU kernel for full-resolution 2-D 3x3 convolutions.
+
+The fusion net (``/root/reference/models/mode_fusion.py:17-32`` BasicBlocks
+under ``:91-247``) and the stem layers run stride-1 3x3 2-D convs with C in
+{32..256} on 1024x512 panoramas. XLA's NHWC conv keeps channels on the 128
+TPU lanes, so C=32 uses 1/4 of the MXU columns (~10-15 ms/frame across the
+fusion net, ``scripts/profile_rest.py``). Same cure as the cost-volume
+conv3d (``conv3d_kernel.py``), one dimension lower:
+
+  * layout is lane-major ``(B, M, C, L)`` — the panorama axis with size a
+    multiple of 128 rides the lanes; the other spatial axis M forms DMA'd
+    halo bands;
+  * the k_band (kh) taps fold into the GEMM's contraction — a
+    ``band[m:m+3]`` slice IS the (3C, L) contraction operand, contiguous in
+    VMEM, no im2col copy;
+  * the k_lane (kw) taps fold into the GEMM's output rows — one
+    ``(3Cout, 3C) @ (3C, L)`` dot per output row, the three Cout row groups
+    combined by ±1 lane shifts on the VPU;
+  * the VPU recombination for row m is emitted between the dots for rows
+    m+1 and m+2, so Mosaic can overlap the MXU and VPU issue streams;
+  * an optional (scale, bias) + residual + ReLU epilogue runs while the
+    tile is in VMEM (the reference runs eager torch conv→BN→ReLU).
+
+Used by the eval/serving fast path only; training keeps XLA convs (which
+fuse BN statistics into the differentiated graph).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mode_tpu.ops.pallas.sphere_conv_kernel import _mxu_precision
+
+
+def _kernel(x_ref, w_ref, sb_ref, res_ref, o_ref, bands_ref, z_ref, sem,
+            *, mb, cin, cout, lanes, relu, has_res):
+  b = pl.program_id(0)
+  m = pl.program_id(1)
+  nm = pl.num_programs(1)
+  lin = b * nm + m
+  total = pl.num_programs(0) * nm
+  slot = lax.rem(lin, 2)
+
+  def band_dma(slot_idx, b_, m_):
+    return pltpu.make_async_copy(
+        x_ref.at[b_, pl.ds(m_ * mb * cin, (mb + 2) * cin)],
+        bands_ref.at[slot_idx], sem.at[slot_idx])
+
+  @pl.when(lin == 0)
+  def _first():
+    band_dma(slot, b, m).start()
+
+  @pl.when(lin + 1 < total)
+  def _prefetch():
+    nxt = lin + 1
+    band_dma(1 - slot, nxt // nm, lax.rem(nxt, nm)).start()
+
+  band_dma(slot, b, m).wait()
+
+  prec = _mxu_precision(w_ref.dtype)
+  wmat = w_ref[:]                                  # (3Cout, 3Cin)
+  lanes_i = jax.lax.broadcasted_iota(jnp.int32, (cout, lanes), 1)
+
+  def recombine(mm):
+    z = z_ref[mm]                                  # (3Cout, L) f32
+    left = z[0:cout]
+    mid = z[cout:2 * cout]
+    right = z[2 * cout:3 * cout]
+    acc = (mid +
+           jnp.where(lanes_i == 0, 0.0, pltpu.roll(left, 1, axis=1)) +
+           jnp.where(lanes_i == lanes - 1, 0.0,
+                     pltpu.roll(right, lanes - 1, axis=1)))
+    acc = acc * sb_ref[0] + sb_ref[1]
+    if has_res:
+      acc = acc + res_ref[0, mm].astype(jnp.float32)
+    if relu:
+      acc = jnp.maximum(acc, 0.0)
+    o_ref[0, mm] = acc.astype(o_ref.dtype)
+
+  for mm in range(mb):
+    z_ref[mm] = jnp.dot(
+        wmat, bands_ref[slot, mm * cin:(mm + 3) * cin],
+        preferred_element_type=jnp.float32, precision=prec)
+    if mm >= 1:
+      recombine(mm - 1)
+  recombine(mb - 1)
+
+
+def _pick_mb(m, cin, cout, lanes, itemsize, has_res):
+  """Largest band-block height whose working set fits the VMEM budget."""
+  def vmem(mb):
+    return (2 * (mb + 2) * cin * lanes * itemsize +          # bands x2
+            2 * mb * cout * lanes * itemsize +               # out x2
+            (2 * mb * cout * lanes * itemsize if has_res else 0) +
+            3 * cout * 3 * cin * itemsize +                  # weights
+            mb * 3 * cout * lanes * 4)                       # z (f32)
+
+  for mb in (16, 8, 4, 2, 1):
+    if m % mb == 0 and vmem(mb) <= 10 * 2**20:
+      return mb
+  return None
+
+
+def conv2d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
+                       scale: jnp.ndarray | None = None,
+                       bias: jnp.ndarray | None = None,
+                       residual: jnp.ndarray | None = None,
+                       relu: bool = False) -> jnp.ndarray:
+  """Fused stride-1 3x3 SAME conv (+affine +residual +ReLU), lane-major.
+
+  Args:
+    x: (B, M, C, L) with L a multiple of 128 and C a multiple of 8.
+    weight: (3, 3, C, Cout) in (k_band, k_lane, in, out) order, Cout a
+      multiple of 8.
+    scale, bias: optional (Cout,) f32 epilogue affine (folded eval BN).
+    residual: optional (B, M, Cout, L) added before ReLU.
+  Returns:
+    (B, M, Cout, L) in x.dtype.
+  """
+  b, m, cin, lanes = x.shape
+  kh, kw, wcin, cout = weight.shape
+  assert (kh, kw) == (3, 3) and wcin == cin, (weight.shape, x.shape)
+  assert lanes % 128 == 0 and cin % 8 == 0 and cout % 8 == 0
+  itemsize = jnp.dtype(x.dtype).itemsize
+
+  mb = _pick_mb(m, cin, cout, lanes, itemsize, residual is not None)
+  assert mb is not None, (x.shape,)
+
+  # fold k_lane into the GEMM's output rows: rows indexed (kw, cout),
+  # contraction indexed (kh, cin)
+  w2 = jnp.transpose(weight, (1, 3, 0, 2)).reshape(3 * cout, 3 * cin)
+  w2 = w2.astype(x.dtype)
+
+  sb = jnp.stack([
+      jnp.ones((cout,), jnp.float32) if scale is None
+      else scale.astype(jnp.float32),
+      jnp.zeros((cout,), jnp.float32) if bias is None
+      else bias.astype(jnp.float32),
+  ])[:, :, None]                                       # (2, Cout, 1)
+
+  xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+  xp = xp.reshape(b, (m + 2) * cin, lanes)
+
+  has_res = residual is not None
+  res = residual if has_res else jnp.zeros((b, 1, cout, lanes), x.dtype)
+  res_spec = (pl.BlockSpec((1, mb, cout, lanes), lambda i, j: (i, j, 0, 0))
+              if has_res else
+              pl.BlockSpec((1, 1, cout, lanes), lambda i, j: (i, 0, 0, 0)))
+
+  kernel = functools.partial(_kernel, mb=mb, cin=cin, cout=cout,
+                             lanes=lanes, relu=relu, has_res=has_res)
+  flops = 2 * b * m * lanes * 9 * cin * cout
+  return pl.pallas_call(
+      kernel,
+      grid=(b, m // mb),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec((3 * cout, 3 * cin), lambda i, j: (0, 0)),
+          pl.BlockSpec((2, cout, 1), lambda i, j: (0, 0, 0)),
+          res_spec,
+      ],
+      out_specs=pl.BlockSpec((1, mb, cout, lanes), lambda i, j: (i, j, 0, 0)),
+      out_shape=jax.ShapeDtypeStruct((b, m, cout, lanes), x.dtype),
+      scratch_shapes=[
+          pltpu.VMEM((2, (mb + 2) * cin, lanes), x.dtype),
+          pltpu.VMEM((mb, 3 * cout, lanes), jnp.float32),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      cost_estimate=pl.CostEstimate(
+          flops=flops,
+          bytes_accessed=(x.size + (res.size if has_res else 0)) * itemsize
+          * 2,
+          transcendentals=0),
+  )(xp, w2, sb, res)
+
+
+def lane_axis_for_2d(shape) -> int | None:
+  """Which NHWC spatial axis rides the lanes: 2 (W) or 1 (H), else None."""
+  _, h, w, _ = shape
+  if w % 128 == 0:
+    return 2
+  if h % 128 == 0:
+    return 1
+  return None
+
+
+def conv2d_fused(x: jnp.ndarray, weight: jnp.ndarray,
+                 scale: jnp.ndarray | None = None,
+                 bias: jnp.ndarray | None = None,
+                 residual: jnp.ndarray | None = None,
+                 relu: bool = False) -> jnp.ndarray:
+  """NHWC wrapper around :func:`conv2d_band_pallas` (transposes in/out).
+
+  weight is HWIO (flax ``nn.Conv`` layout).
+  """
+  la = lane_axis_for_2d(x.shape)
+  assert la is not None, x.shape
+  if la == 2:                     # W on lanes, bands over H
+    xl = jnp.transpose(x, (0, 1, 3, 2))
+    wl = weight
+    rl = None if residual is None else jnp.transpose(residual, (0, 1, 3, 2))
+  else:                           # H on lanes, bands over W
+    xl = jnp.transpose(x, (0, 2, 3, 1))
+    wl = jnp.transpose(weight, (1, 0, 2, 3))
+    rl = None if residual is None else jnp.transpose(residual, (0, 2, 3, 1))
+  y = conv2d_band_pallas(xl, wl, scale, bias, rl, relu)
+  return (jnp.transpose(y, (0, 1, 3, 2)) if la == 2
+          else jnp.transpose(y, (0, 3, 1, 2)))
+
+
+def _conv2d_xla(x, w):
+  dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+  prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+          else lax.Precision.DEFAULT)
+  return lax.conv_general_dilated(x, w, (1, 1), [(1, 1)] * 2,
+                                  dimension_numbers=dn, precision=prec)
+
+
+@jax.custom_vjp
+def conv2d_3x3_fast(x, w):
+  """Stride-1 3x3 SAME conv, NHWC/HWIO, Pallas forward + XLA backward.
+  Gradient-safe: the VJP is the XLA conv's (the two forwards agree to
+  kernel-precision tolerance, sharing the zero-padded SAME semantics)."""
+  return conv2d_fused(x, w)
+
+
+def _conv2d_fast_fwd(x, w):
+  return conv2d_fused(x, w), (x, w)
+
+
+def _conv2d_fast_bwd(res, g):
+  x, w = res
+  _, vjp = jax.vjp(_conv2d_xla, x, w)
+  return vjp(g)
+
+
+conv2d_3x3_fast.defvjp(_conv2d_fast_fwd, _conv2d_fast_bwd)
+
+
+def conv2d_pallas_eligible(x_shape, kernel, stride, pad, dilation,
+                           cout) -> bool:
+  """Static gate for the Pallas conv2d fast path (NHWC shapes). Respects
+  the conv3d kernel's mode switch and mesh/platform gates (one policy for
+  all the Pallas fast paths)."""
+  from mode_tpu.ops.pallas.conv3d_kernel import _CONV3D_MODE
+  if _CONV3D_MODE == "off":
+    return False
+  if tuple(kernel) != (3, 3) or tuple(stride) != (1, 1):
+    return False
+  if tuple(pad) != (1, 1) or tuple(dilation) != (1, 1):
+    return False
+  b, h, w, c = x_shape
+  if c % 8 != 0 or cout % 8 != 0:
+    return False
+  la = lane_axis_for_2d(x_shape)
+  if la is None:
+    return False
+  m = h if la == 2 else w
+  lanes = w if la == 2 else h
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
+    # no shard_map wrapper for the 2-D kernel yet: stay on XLA under a mesh
+    return False
+  itemsize = jnp.dtype(jnp.bfloat16).itemsize
+  if _pick_mb(m, c, cout, lanes, itemsize, False) is None:
+    return False
+  if _CONV3D_MODE == "on":
+    return True
+  try:
+    return jax.devices()[0].platform in ("tpu", "axon")
+  except RuntimeError:
+    return False
