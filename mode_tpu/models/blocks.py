@@ -29,6 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from mode_tpu.ops.sphere_conv import sphere_conv
 
@@ -239,25 +240,64 @@ class Conv3dDFold(nn.Module):
     return y
 
 
+class Conv2dBand(nn.Module):
+  """3x3 stride-1 SAME 2-D conv through the lane-major Pallas kernel
+  (``ops/pallas/conv2d_kernel.py``). Same param tree as ``nn.Conv``
+  (kernel HWIO + optional bias); gradient-safe via a custom VJP that
+  differentiates the equivalent XLA conv."""
+  features: int
+  use_bias: bool = False
+  kernel_init: Any = None
+
+  @nn.compact
+  def __call__(self, x):
+    from mode_tpu.ops.pallas.conv2d_kernel import conv2d_3x3_fast
+    cin = x.shape[-1]
+    w = self.param("kernel", self.kernel_init or msra_normal_init(),
+                   (3, 3, cin, self.features))
+    y = conv2d_3x3_fast(x, w.astype(x.dtype))
+    if self.use_bias:
+      b = self.param("bias", nn.initializers.zeros, (self.features,))
+      y = y + b.astype(y.dtype)
+    return y
+
+
 def conv_nd(x: jnp.ndarray, features: int, kernel: Sequence[int], *,
             stride=1, pad=0, dilation=1, use_bias=False, name: str,
-            kernel_init=None) -> jnp.ndarray:
+            kernel_init=None, train: bool = True) -> jnp.ndarray:
   """torch ``nn.Conv2d/3d`` on NHWC/NDHWC. ``name`` is the torch path
-  segment (e.g. ``"0"`` inside a Sequential)."""
+  segment (e.g. ``"0"`` inside a Sequential). ``train=False`` callers
+  (the eval/serving path) may dispatch eligible 2-D convs to the Pallas
+  lane-major kernel; training keeps XLA convs, whose differentiated graph
+  fuses the BN/ReLU tails."""
   nd = len(kernel)
   stride = (stride,) * nd if isinstance(stride, int) else tuple(stride)
   pad = (pad,) * nd if isinstance(pad, int) else tuple(pad)
   dilation = (dilation,) * nd if isinstance(dilation, int) else tuple(dilation)
   if nd == 3 and dilation == (1, 1, 1):
-    return Conv3dDFold(features, tuple(kernel), stride, pad,
-                       use_bias=use_bias, kernel_init=kernel_init,
-                       name=name)(x)
-  return nn.Conv(features, tuple(kernel), strides=stride,
-                 padding=[(p, p) for p in pad], kernel_dilation=dilation,
-                 use_bias=use_bias,
-                 kernel_init=kernel_init or msra_normal_init(),
-                 bias_init=nn.initializers.zeros,
-                 precision=mxu_precision(x.dtype), name=name)(x)
+    y = Conv3dDFold(features, tuple(kernel), stride, pad,
+                    use_bias=use_bias, kernel_init=kernel_init,
+                    name=name)(x)
+  else:
+    use_band = False
+    if nd == 2 and not train:
+      from mode_tpu.ops.pallas.conv2d_kernel import conv2d_pallas_eligible
+      use_band = conv2d_pallas_eligible(x.shape, kernel, stride, pad,
+                                        dilation, features)
+    if use_band:
+      y = Conv2dBand(features, use_bias=use_bias, kernel_init=kernel_init,
+                     name=name)(x)
+    else:
+      y = nn.Conv(features, tuple(kernel), strides=stride,
+                  padding=[(p, p) for p in pad], kernel_dilation=dilation,
+                  use_bias=use_bias,
+                  kernel_init=kernel_init or msra_normal_init(),
+                  bias_init=nn.initializers.zeros,
+                  precision=mxu_precision(x.dtype), name=name)(x)
+  # no-op unless a remat policy saves by this name (models/disparity.py's
+  # remat_policy="save_convs": keep conv outputs, recompute only the cheap
+  # BN/ReLU elementwise tail in the backward pass)
+  return checkpoint_name(y, "conv_out")
 
 
 class ConvTranspose(nn.Module):
@@ -301,7 +341,7 @@ class ConvTranspose(nn.Module):
           lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
           (self.features,))
       y = y + (b.astype(y.dtype)[:, None] if lane_xla else b.astype(y.dtype))
-    return y
+    return checkpoint_name(y, "conv_out")
 
 
 class SphereConvLayer(nn.Module):
@@ -323,10 +363,11 @@ class SphereConvLayer(nn.Module):
                    (self.kernel, self.kernel, cin, self.features))
     b = (self.param("bias", nn.initializers.zeros, (self.features,))
          if self.use_bias else None)
-    return sphere_conv(x, w.astype(x.dtype), b,
-                       sphere_type=self.sphere_type, stride=self.stride,
-                       pad=self.pad, dilation=self.dilation,
-                       precision=mxu_precision(x.dtype))
+    return checkpoint_name(
+        sphere_conv(x, w.astype(x.dtype), b,
+                    sphere_type=self.sphere_type, stride=self.stride,
+                    pad=self.pad, dilation=self.dilation,
+                    precision=mxu_precision(x.dtype)), "conv_out")
 
 
 # --------------------------------------------------------------------------
@@ -340,7 +381,7 @@ def convbn(x, train, features, kernel, stride, pad, dilation, prefix):
   ``padding = dilation if dilation > 1 else pad``."""
   eff_pad = dilation if dilation > 1 else pad
   x = conv_nd(x, features, (kernel, kernel), stride=stride, pad=eff_pad,
-              dilation=dilation, name=f"{prefix}.0")
+              dilation=dilation, name=f"{prefix}.0", train=train)
   return TorchBatchNorm(name=f"{prefix}.1")(x, train)
 
 

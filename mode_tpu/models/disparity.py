@@ -265,6 +265,15 @@ class ModeDisparity(nn.Module):
   out_conf: bool = False
   remat: bool = True   # rematerialize FE/hourglasses/heads for training
                        # (full-res training does not fit HBM otherwise)
+  remat_policy: str = "save_convs"   # "full" | "save_convs": keep conv/MXU
+                       # outputs across the remat boundary and recompute
+                       # only the BN/ReLU elementwise tails in backward
+
+  def _remat_policy(self):
+    if self.remat_policy == "save_convs":
+      return jax.checkpoint_policies.save_only_these_names("conv_out")
+    assert self.remat_policy == "full", self.remat_policy
+    return None
 
   @nn.compact
   def __call__(self, left: jnp.ndarray, right: jnp.ndarray, train: bool):
@@ -279,7 +288,8 @@ class ModeDisparity(nn.Module):
       raise NotImplementedError(
           "Convolution Type must be Regular or Sphere!")
     if use_remat:
-      fe_cls = nn.remat(fe_cls, static_argnums=(2,))
+      fe_cls = nn.remat(fe_cls, static_argnums=(2,),
+                        policy=self._remat_policy())
     fe = fe_cls(*fe_args, name="feature_extraction")
     ref_fea = fe(left, train)
     tgt_fea = fe(right, train)          # same submodule → shared params
@@ -354,8 +364,9 @@ class ModeDisparity(nn.Module):
     d1 = convbn_3d(d1, train, 32, 3, 1, 1, "dres1.2")
     cost0 = d1 + cost0
 
-    hg_cls = nn.remat(Hourglass, static_argnums=(4,)) if use_remat \
-        else Hourglass
+    hg_cls = (nn.remat(Hourglass, static_argnums=(4,),
+                       policy=self._remat_policy())
+              if use_remat else Hourglass)
     out1, pre1, post1 = hg_cls(32, name="dres2")(cost0, None, None, train)
     out1 = out1 + cost0
     out2, pre2, post2 = hg_cls(32, name="dres3")(out1, pre1, post1, train)

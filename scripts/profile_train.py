@@ -62,6 +62,14 @@ def main():
     i = args.index("--batch")
     b = int(args[i + 1])
     del args[i:i + 2]
+  policy_name = "save_convs"
+  if "--policy" in args:
+    i = args.index("--policy")
+    policy_name = args[i + 1]
+    del args[i:i + 2]
+  policy = (jax.checkpoint_policies.save_only_these_names("conv_out")
+            if policy_name == "save_convs" else None)
+  print(json.dumps({"policy": policy_name, "batch": b}), flush=True)
   only = set(args)
 
   def want(name):
@@ -72,7 +80,8 @@ def main():
 
   # --- feature extraction fwd+bwd (both views, remat as in the model) ---
   if want("fe"):
-    fe_cls = nn.remat(D.SphereFeatureExtraction, static_argnums=(2,))
+    fe_cls = nn.remat(D.SphereFeatureExtraction, static_argnums=(2,),
+                      policy=policy)
     fe = fe_cls("Cassini", name="feature_extraction")
     fe_vars = jax.jit(lambda: fe.init(key, x, True))()
 
@@ -121,7 +130,7 @@ def main():
 
   # --- one hourglass fwd+bwd (remat as in the model; x3 in the step) ---
   if want("hourglass"):
-    hg_cls = nn.remat(Hourglass, static_argnums=(4,))
+    hg_cls = nn.remat(Hourglass, static_argnums=(4,), policy=policy)
     hg = hg_cls(32)
     hg_vars = jax.jit(lambda: hg.init(key, cost0, None, None, True))()
 
@@ -200,7 +209,8 @@ def main():
   # --- the full train step for reference ---
   if want("full"):
     from mode_tpu import training
-    model = ModeDisparity(maxdisp=MAXD, out_conf=False, remat=True)
+    model = ModeDisparity(maxdisp=MAXD, out_conf=False, remat=True,
+                          remat_policy=policy_name)
     opt = training.make_optimizer()
     dummy = np.zeros((b, H, W, 3), np.float32)
     state = training.init_state(model, opt, key, dummy, dummy, train=False)
