@@ -65,6 +65,10 @@ def build_parser():
   p.add_argument("--bf16", action="store_true",
                  help="mixed-precision training (bf16 activations, f32 "
                       "master weights and loss)")
+  p.add_argument("--device_normalize", action="store_true",
+                 help="stream raw uint8 RGB to the device (4x less "
+                      "host->device traffic) and fuse the ImageNet "
+                      "normalize into the train step")
   p.add_argument("--seed", type=int, default=123)
   p.add_argument("--save_checkpoint_path", default="./checkpoints/disp/")
   # TPU parallelism (replaces the reference's --parallel DataParallel flag)
@@ -94,7 +98,8 @@ def main(argv=None):
         args.dataset_root, soiled=args.soiled)
     train_ds = Deep360DatasetDisparity(tl, tr, td,
                                        shape=(args.height, args.width),
-                                       crop=args.crop_disp)
+                                       crop=args.crop_disp,
+                                       device_normalize=args.device_normalize)
     val_ds = Deep360DatasetDisparity(vl, vr, vd,
                                      shape=(args.height, args.width))
   else:  # 3D60 (512x256 Cassini, sine-law gt disparity from depth)

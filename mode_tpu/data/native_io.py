@@ -60,6 +60,10 @@ def _load() -> Optional[ctypes.CDLL]:
       ctypes.c_int, ctypes.POINTER(ctypes.c_float),
       ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
       ctypes.c_int]
+  lib.modeio_decode_rgb_batch_u8.restype = ctypes.c_int64
+  lib.modeio_decode_rgb_batch_u8.argtypes = [
+      ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
+      ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
   lib.modeio_read_npz.restype = ctypes.c_int64
   lib.modeio_read_npz.argtypes = [
       ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
@@ -111,6 +115,21 @@ def decode_rgb_batch_normalized(paths: Sequence[str], height: int,
       out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads)
   if rc != 0:
     raise IOError(f"native batch decode failed at {paths[rc - 1]}")
+  return out
+
+
+def decode_rgb_batch_u8(paths: Sequence[str], height: int, width: int,
+                        threads: int = 8) -> np.ndarray:
+  """Decode PNGs → raw uint8 (N, H, W, 3) — 1/4 the host→device bytes of the
+  normalized float path; pair with the train step's on-device normalize."""
+  lib = _load()
+  assert lib is not None
+  out = np.empty((len(paths), height, width, 3), np.uint8)
+  rc = lib.modeio_decode_rgb_batch_u8(
+      _paths_array(paths), len(paths), height, width,
+      out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
+  if rc != 0:
+    raise IOError(f"native u8 batch decode failed at {paths[rc - 1]}")
   return out
 
 

@@ -29,6 +29,17 @@ from mode_tpu.parallel import mesh as pmesh
 from mode_tpu.utils.losses import disparity_deep_supervision, silog_loss
 
 
+def normalize_rgb_on_device(x, compute_dtype=None):
+  """ImageNet-normalize a uint8 RGB batch on device (same math as the host
+  ``preprocess.rgb_to_tensor``); float inputs pass through. Pairing this
+  with the loaders' ``device_normalize`` mode cuts host→device bytes 4×."""
+  if x.dtype == jnp.uint8:
+    from mode_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    xf = x.astype(jnp.float32) / 255.0
+    x = (xf - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+  return x.astype(compute_dtype) if compute_dtype else x
+
+
 def cast_conv_params(params, dtype):
   """Cast conv kernels (kernel/kernel_t leaves) to ``dtype``; BN leaves stay
   float32. Differentiable — under autodiff the cast transposes back to f32
@@ -95,8 +106,8 @@ def make_disparity_train_step(model, optimizer,
     def loss_fn(params):
       apply_params = (cast_conv_params(params, compute_dtype)
                       if compute_dtype else params)
-      l = left.astype(compute_dtype) if compute_dtype else left
-      r = right.astype(compute_dtype) if compute_dtype else right
+      l = normalize_rgb_on_device(left, compute_dtype)
+      r = normalize_rgb_on_device(right, compute_dtype)
       set_conv3d_train_pallas(use_train_pallas)
       try:
         (p1, p2, p3), mut = model.apply(

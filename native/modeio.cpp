@@ -308,6 +308,43 @@ int64_t modeio_decode_rgb_batch_normalized(const char** paths, int64_t n,
   return failed.load();
 }
 
+// Decode a batch of RGB PNGs into a raw uint8 (N, H, W, 3) buffer (no
+// normalization — for host->device transfer at 1/4 the float32 bytes, with
+// the ImageNet normalize fused into the device-side train step). Returns 0
+// on success, else the 1-based index of the first failed path.
+int64_t modeio_decode_rgb_batch_u8(const char** paths, int64_t n, int height,
+                                   int width, uint8_t* out, int threads) {
+  std::atomic<int64_t> failed(0);
+  const int64_t img_elems = int64_t(height) * width * 3;
+  parallel_for(n, threads, [&](int64_t i) {
+    Buf file;
+    std::vector<uint8_t> pixels;
+    uint32_t w, h;
+    int ch = -1;
+    if (read_file(paths[i], &file)) ch = decode_png(file, &pixels, &w, &h);
+    if (ch < 0 || int(h) != height || int(w) != width) {
+      int64_t expect = 0;
+      failed.compare_exchange_strong(expect, i + 1);
+      return;
+    }
+    uint8_t* dst = out + i * img_elems;
+    const int64_t px = int64_t(height) * width;
+    if (ch == 3) {
+      std::memcpy(dst, pixels.data(), px * 3);
+    } else if (ch == 1) {
+      for (int64_t k = 0; k < px; ++k)
+        for (int c = 0; c < 3; ++c) dst[k * 3 + c] = pixels[k];
+    } else if (ch == 4) {
+      for (int64_t k = 0; k < px; ++k)
+        for (int c = 0; c < 3; ++c) dst[k * 3 + c] = pixels[k * 4 + c];
+    } else {
+      int64_t expect = 0;
+      failed.compare_exchange_strong(expect, i + 1);
+    }
+  });
+  return failed.load();
+}
+
 // Read the first array of an .npz (or a raw .npy) as float32.
 // Returns element count or -1.
 int64_t modeio_read_npz(const char* path, float* out, int64_t capacity) {

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Sustained train-epoch throughput INCLUDING the data pipeline.
+
+The compute-only train-step number (``bench.py``) says nothing about whether
+the loader can feed it; the reference's only throughput observable is epoch
+wall-clock (``/root/reference/train_disparity.py:234``). This benchmark
+generates a synthetic on-disk Deep360 episode at full production resolution,
+then runs the real stage-1 training path end to end — file lister → native
+libmodeio decode (uint8, ``device_normalize``) → threaded prefetch loader →
+async host→device transfer → jitted train step — and reports frames/s with
+IO included, next to the compute-only step rate from the same run.
+
+Under axon the host→device tunnel (~17 MB/s) is the far bottleneck, which is
+exactly what the uint8 transfer path + prefetch pipelining are for; on a
+real TPU host (PCIe) the decode pool is the contended resource instead.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_epoch.py
+         [--frames 12] [--batch 1] [--steps N] [--f32-transfer]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--frames", type=int, default=12,
+                  help="synthetic frames per subset (x6 pairs = samples)")
+  ap.add_argument("--batch", type=int, default=1)
+  ap.add_argument("--steps", type=int, default=None,
+                  help="truncate the epoch to N steps (default: full epoch)")
+  ap.add_argument("--f32-transfer", action="store_true",
+                  help="disable the uint8 path (host-normalized float32)")
+  ap.add_argument("--height", type=int, default=1024)
+  ap.add_argument("--width", type=int, default=512)
+  args = ap.parse_args()
+
+  import jax
+  import jax.numpy as jnp
+
+  from mode_tpu import training
+  from mode_tpu.data.deep360 import Deep360DatasetDisparity
+  from mode_tpu.data.file_lists import list_deep360_disparity_train
+  from mode_tpu.data.loader import DataLoader
+  from mode_tpu.models.disparity import ModeDisparity
+  from tests.synth_data import make_deep360_tree
+
+  root = os.path.join(tempfile.gettempdir(), "mode_epoch_bench",
+                      f"deep360_{args.height}x{args.width}_{args.frames}")
+  marker = os.path.join(root, ".complete")
+  if not os.path.exists(marker):
+    print(json.dumps({"info": "generating synthetic Deep360 episode",
+                      "root": root}), flush=True)
+    # one validation frame keeps the lister happy without bloating the tree
+    make_deep360_tree(root, episodes=("ep1_bench",),
+                      frames_per_subset=args.frames, h=args.height,
+                      w=args.width, subsets=("training",))
+    make_deep360_tree(root, episodes=("ep1_bench",), frames_per_subset=1,
+                      h=args.height, w=args.width,
+                      subsets=("validation",))
+    open(marker, "w").close()
+
+  tl, tr, td, *_ = list_deep360_disparity_train(root)
+  ds = Deep360DatasetDisparity(tl, tr, td, shape=(args.height, args.width),
+                               device_normalize=not args.f32_transfer)
+  loader = DataLoader(ds, batch_size=args.batch, shuffle=True,
+                      num_workers=8, drop_last=True, prefetch=3)
+  n_samples = len(ds)
+  print(json.dumps({"info": "dataset ready", "samples": n_samples,
+                    "u8_transfer": not args.f32_transfer}), flush=True)
+
+  model = ModeDisparity(maxdisp=192, conv="Sphere", sphere_type="Cassini",
+                        out_conf=False)
+  opt = training.make_optimizer()
+  dummy = np.zeros((args.batch, args.height, args.width, 3), np.float32)
+  state = training.init_state(model, opt, jax.random.PRNGKey(0), dummy,
+                              dummy, train=False)
+  step = training.make_disparity_train_step(model, opt, mesh=None,
+                                            compute_dtype=jnp.bfloat16)
+
+  # warm up (compile) on one batch, outside the timed epoch
+  warm = next(iter(loader))
+  wb = [jax.device_put(warm["leftImg"]), jax.device_put(warm["rightImg"]),
+        jax.device_put(warm["dispMap"])]
+  t0 = time.time()
+  state, loss = step(state, *wb)
+  _ = float(loss)
+  print(json.dumps({"info": "compiled", "warm_s": round(time.time() - t0, 1),
+                    "loss": float(loss)}), flush=True)
+  t0 = time.time()
+  state, loss = step(state, *wb)
+  _ = float(loss)
+  step_s = time.time() - t0
+
+  # ---- the timed epoch: decode -> H2D -> step, software-pipelined --------
+  # dispatch batch k's transfer and step without blocking, so decode (thread
+  # pool), transfer (tunnel/PCIe) and compute overlap; block only at the end.
+  t0 = time.time()
+  n_frames = 0
+  losses = []
+  for i, batch in enumerate(loader):
+    if args.steps is not None and i >= args.steps:
+      break
+    dev = [jax.device_put(batch["leftImg"]), jax.device_put(batch["rightImg"]),
+           jax.device_put(batch["dispMap"])]
+    state, loss = step(state, *dev)
+    losses.append(loss)                      # async — no host sync per step
+    n_frames += batch["dispMap"].shape[0]
+  losses = [float(l) for l in losses]        # one sync at epoch end
+  wall = time.time() - t0
+
+  fps = n_frames / wall
+  compute_fps = args.batch / step_s
+  rec = {
+      "metric": "train_epoch_frames_per_s", "value": round(fps, 3),
+      "unit": "frames/s", "frames": n_frames, "wall_s": round(wall, 1),
+      "compute_only_frames_per_s": round(compute_fps, 3),
+      "io_overhead_pct": round(100.0 * (compute_fps - fps) /
+                               max(compute_fps, 1e-9), 1),
+      "batch": args.batch, "u8_transfer": not args.f32_transfer,
+      "loss_finite": bool(np.isfinite(losses).all()),
+  }
+  print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+  main()

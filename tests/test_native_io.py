@@ -37,6 +37,23 @@ def test_batch_normalized_matches_python(tmp_path, rng):
     np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-6)
 
 
+def test_batch_u8_and_device_normalize(tmp_path, rng):
+  """uint8 decode + on-device normalize == host-normalized float decode."""
+  paths = []
+  for i in range(4):
+    img = rng.integers(0, 255, size=(24, 16, 3), dtype=np.uint8)
+    p = str(tmp_path / f"u{i}.png")
+    Image.fromarray(img).save(p)
+    paths.append(p)
+  u8 = native_io.decode_rgb_batch_u8(paths, 24, 16, threads=2)
+  for i, p in enumerate(paths):
+    np.testing.assert_array_equal(u8[i], np.asarray(Image.open(p)))
+  from mode_tpu.training import normalize_rgb_on_device
+  host = native_io.decode_rgb_batch_normalized(paths, 24, 16, threads=2)
+  dev = np.asarray(normalize_rgb_on_device(u8))
+  np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
+
+
 def test_npz_variants(tmp_path, rng):
   a32 = rng.normal(size=(17, 9)).astype(np.float32)
   p1 = str(tmp_path / "a.npz")
