@@ -204,6 +204,29 @@ def test_depth_view_transform_with_conf(rng):
   assert close.mean() > 0.95
 
 
+def test_zbuffer_sort_impl_bit_exact(rng):
+  """The scatter-free sort z-buffer is bit-identical to the scatter one,
+  including tie-breaks, invalid pixels, and beyond-sentinel radii."""
+  from mode_tpu.geometry import reprojection as rp
+  h, w = 48, 64
+  depth = np.abs(rng.normal(2.0, 3.0, size=(h, w))).astype(np.float32)
+  depth[rng.random(size=(h, w)) < 0.15] = 0.0          # invalid
+  depth[rng.random(size=(h, w)) < 0.05] = 150000.0     # beyond sentinel
+  conf = rng.uniform(0, 1, size=(h, w)).astype(np.float32)
+  args = (0.0, -1.0, 0.0, 0.5 * math.pi, 0.0, 0.0)
+  try:
+    rp.set_zbuffer_impl("scatter")
+    v0, c0 = (np.asarray(t)
+              for t in depth_view_transform_with_conf(depth, conf, *args))
+    rp.set_zbuffer_impl("sort")
+    v1, c1 = (np.asarray(t)
+              for t in depth_view_transform_with_conf(depth, conf, *args))
+  finally:
+    rp.set_zbuffer_impl("sort")
+  assert np.array_equal(v0, v1)
+  assert np.array_equal(c0, c1)
+
+
 @pytest.mark.parametrize("pair", ["12", "13", "14", "23", "24", "34"])
 def test_bridge_all_pairs_run(rng, pair):
   disp = rng.uniform(0, 30, size=(32, 16)).astype(np.float32)
