@@ -92,6 +92,58 @@ def _kernel(x_ref, w_ref, sb_ref, res_ref, o_ref, bands_ref, z_ref, sem,
   recombine(mb - 1)
 
 
+def _kernel_batch(x_ref, w_ref, sb_ref, res_ref, o_ref, bands_ref, z_ref,
+                  sem, *, mb, cin, cout, lanes, relu, has_res):
+  """Batch-recombination variant of :func:`_kernel`: all dots first, then
+  one whole-block VPU pass (the conv3d kernel's measured-winning structure
+  — per-row VPU chunks vectorize worse than they overlap)."""
+  b = pl.program_id(0)
+  m = pl.program_id(1)
+  nm = pl.num_programs(1)
+  lin = b * nm + m
+  total = pl.num_programs(0) * nm
+  slot = lax.rem(lin, 2)
+
+  def band_dma(slot_idx, b_, m_):
+    return pltpu.make_async_copy(
+        x_ref.at[b_, pl.ds(m_ * mb * cin, (mb + 2) * cin)],
+        bands_ref.at[slot_idx], sem.at[slot_idx])
+
+  @pl.when(lin == 0)
+  def _first():
+    band_dma(slot, b, m).start()
+
+  @pl.when(lin + 1 < total)
+  def _prefetch():
+    nxt = lin + 1
+    band_dma(1 - slot, nxt // nm, lax.rem(nxt, nm)).start()
+
+  band_dma(slot, b, m).wait()
+
+  prec = _mxu_precision(w_ref.dtype)
+  wmat = w_ref[:]
+  for mm in range(mb):
+    z_ref[mm] = jnp.dot(
+        wmat, bands_ref[slot, mm * cin:(mm + 3) * cin],
+        preferred_element_type=jnp.float32, precision=prec)
+
+  z = z_ref[:]                                     # (mb, 3Cout, L) f32
+  left = z[:, 0:cout]
+  mid = z[:, cout:2 * cout]
+  right = z[:, 2 * cout:3 * cout]
+  lanes_i = jax.lax.broadcasted_iota(jnp.int32, (mb, cout, lanes), 2)
+  acc = (mid +
+         jnp.where(lanes_i == 0, 0.0, pltpu.roll(left, 1, axis=2)) +
+         jnp.where(lanes_i == lanes - 1, 0.0,
+                   pltpu.roll(right, lanes - 1, axis=2)))
+  acc = acc * sb_ref[0][None] + sb_ref[1][None]
+  if has_res:
+    acc = acc + res_ref[0].astype(jnp.float32)
+  if relu:
+    acc = jnp.maximum(acc, 0.0)
+  o_ref[0] = acc.astype(o_ref.dtype)
+
+
 def _pick_mb(m, cin, cout, lanes, itemsize, has_res):
   """Largest band-block height whose working set fits the VMEM budget."""
   def vmem(mb):
@@ -111,8 +163,14 @@ def conv2d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
                        scale: jnp.ndarray | None = None,
                        bias: jnp.ndarray | None = None,
                        residual: jnp.ndarray | None = None,
-                       relu: bool = False) -> jnp.ndarray:
+                       relu: bool = False,
+                       interleave: bool = True) -> jnp.ndarray:
   """Fused stride-1 3x3 SAME conv (+affine +residual +ReLU), lane-major.
+
+  ``interleave`` selects the per-row-recombination kernel (the measured
+  winner here: +15-100% over batch recombination across the fusion shapes,
+  ``scripts/bench_conv2d_pallas.py`` — the opposite of the conv3d kernel,
+  whose recombination rows are narrower and vectorize better in one pass).
 
   Args:
     x: (B, M, C, L) with L a multiple of 128 and C a multiple of 8.
@@ -153,7 +211,8 @@ def conv2d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
               if has_res else
               pl.BlockSpec((1, 1, cout, lanes), lambda i, j: (i, 0, 0, 0)))
 
-  kernel = functools.partial(_kernel, mb=mb, cin=cin, cout=cout,
+  kernel = functools.partial(_kernel if interleave else _kernel_batch,
+                             mb=mb, cin=cin, cout=cout,
                              lanes=lanes, relu=relu, has_res=has_res)
   flops = 2 * b * m * lanes * 9 * cin * cout
   return pl.pallas_call(
@@ -194,7 +253,7 @@ def conv2d_fused(x: jnp.ndarray, weight: jnp.ndarray,
                  scale: jnp.ndarray | None = None,
                  bias: jnp.ndarray | None = None,
                  residual: jnp.ndarray | None = None,
-                 relu: bool = False) -> jnp.ndarray:
+                 relu: bool = False, interleave: bool = True) -> jnp.ndarray:
   """NHWC wrapper around :func:`conv2d_band_pallas` (transposes in/out).
 
   weight is HWIO (flax ``nn.Conv`` layout).
@@ -209,7 +268,8 @@ def conv2d_fused(x: jnp.ndarray, weight: jnp.ndarray,
     xl = jnp.transpose(x, (0, 2, 3, 1))
     wl = jnp.transpose(weight, (1, 0, 2, 3))
     rl = None if residual is None else jnp.transpose(residual, (0, 2, 3, 1))
-  y = conv2d_band_pallas(xl, wl, scale, bias, rl, relu)
+  y = conv2d_band_pallas(xl, wl, scale, bias, rl, relu,
+                         interleave=interleave)
   return (jnp.transpose(y, (0, 1, 3, 2)) if la == 2
           else jnp.transpose(y, (0, 3, 1, 2)))
 

@@ -210,6 +210,65 @@ def main():
     tol = 1e-4 if dtype == jnp.float32 else 4e-2
     check(f"conv3d_{tag}", got, ref, tol, tol)
 
+  # --- 2-D lane-major conv (fusion/stem fast path) -------------------------
+  from mode_tpu.ops.pallas.conv2d_kernel import conv2d_fused
+
+  def conv2d_xla_ref(x, wgt, scale, bias, residual, relu):
+    dn = jax.lax.conv_dimension_numbers(x.shape, wgt.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, wgt, (1, 1), [(1, 1)] * 2, dimension_numbers=dn,
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT)).astype(jnp.float32)
+    y = y * scale + bias
+    if residual is not None:
+      y = y + residual.astype(jnp.float32)
+    if relu:
+      y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+  for b, hh, ww, cin, cout, dtype, res, tag in [
+      (1, 512, 1024, 32, 32, jnp.bfloat16, True, "bf16_c32_full_res"),
+      (1, 256, 512, 64, 64, jnp.bfloat16, False, "bf16_c64_half"),
+      (1, 64, 128, 32, 32, jnp.float32, False, "f32_c32_small"),
+  ]:
+    x = jnp.asarray(rng.normal(size=(b, hh, ww, cin)) * 0.3, dtype)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.08, dtype)
+    scale = jnp.asarray(rng.normal(size=(cout,)) * 0.2 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    residual = (jnp.asarray(rng.normal(size=(b, hh, ww, cout)) * 0.3, dtype)
+                if res else None)
+    got = jax.jit(lambda a, w_, r: conv2d_fused(
+        a, w_, scale, bias, r, relu=True))(x, wgt, residual)
+    ref = jax.jit(lambda a, w_, r: conv2d_xla_ref(
+        a, w_, scale, bias, r, True))(x, wgt, residual)
+    tol = 1e-4 if dtype == jnp.float32 else 4e-2
+    check(f"conv2d_{tag}", got, ref, tol, tol)
+
+  # --- z-buffer sort resolver vs scatter resolver (bit-exact) --------------
+  from mode_tpu.geometry import reprojection as rp
+  zb_depth = np.abs(rng.normal(5.0, 10.0, (1024, 512))).astype(np.float32)
+  zb_depth[rng.random((1024, 512)) < 0.05] = 0.0
+  zb_conf = rng.random((1024, 512)).astype(np.float32)
+  zb_args = (0.0, -1.0, 0.0, 0.5 * np.pi, 0.0, 0.0)
+  try:
+    rp.set_zbuffer_impl("scatter")
+    v0, c0 = jax.jit(lambda d, c: rp.depth_view_transform_with_conf(
+        d, c, *zb_args))(jnp.asarray(zb_depth), jnp.asarray(zb_conf))
+    v0, c0 = np.asarray(v0), np.asarray(c0)
+    rp.set_zbuffer_impl("sort")
+    v1, c1 = jax.jit(lambda d, c: rp.depth_view_transform_with_conf(
+        d, c, *zb_args))(jnp.asarray(zb_depth), jnp.asarray(zb_conf))
+    v1, c1 = np.asarray(v1), np.asarray(c1)
+  finally:
+    rp.set_zbuffer_impl("sort")
+  zb_pass = bool(np.array_equal(v0, v1) and np.array_equal(c0, c1))
+  ok = ok and zb_pass
+  rec = {"check": "zbuffer_sort_bit_exact_1024x512",
+         "max_abs": float(np.abs(v0 - v1).max()), "pass": zb_pass}
+  results.append(rec)
+  print(json.dumps(rec), flush=True)
+
   # --- end-to-end bf16 production-path drift gate --------------------------
   # Trained-ish weights (committed artifact, tests/trained_mirror.py) at the
   # full production resolution: the bf16 conv path (bench.py's pipeline
