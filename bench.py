@@ -109,8 +109,12 @@ def bench_pipeline(jax, jnp):
   return med, flops
 
 
-def bench_train_step(jax, jnp):
-  """Full-res (1024×512, maxdisp 192) B=1 stage-1 train step, bf16+remat."""
+def bench_train_step(jax, jnp, b=1):
+  """Full-res (1024×512, maxdisp 192) stage-1 train step, bf16 + remat
+  (save_convs policy). ``b=2`` is the production operating point: the
+  underutilized conv3d mid-section amortizes (docs/PROFILES.md), matching
+  the reference's own batched production config
+  (``train_disparity.py:264-265``, batch 6 over GPUs)."""
   from mode_tpu import training
   from mode_tpu.models.disparity import ModeDisparity
 
@@ -118,7 +122,7 @@ def bench_train_step(jax, jnp):
   model = ModeDisparity(maxdisp=192, conv="Sphere", sphere_type="Cassini",
                         out_conf=False, remat=True)
   optimizer = training.make_optimizer()
-  dummy = np.zeros((1, h, w, 3), np.float32)
+  dummy = np.zeros((b, h, w, 3), np.float32)
   state = training.init_state(model, optimizer, jax.random.PRNGKey(0),
                               dummy, dummy, train=False)
   step = training.make_disparity_train_step(model, optimizer, mesh=None,
@@ -126,9 +130,9 @@ def bench_train_step(jax, jnp):
 
   rng = np.random.default_rng(1)
   batch = [jax.device_put(x) for x in (
-      rng.normal(size=(1, h, w, 3)).astype(np.float32),
-      rng.normal(size=(1, h, w, 3)).astype(np.float32),
-      rng.uniform(1.0, 100.0, size=(1, h, w)).astype(np.float32))]
+      rng.normal(size=(b, h, w, 3)).astype(np.float32),
+      rng.normal(size=(b, h, w, 3)).astype(np.float32),
+      rng.uniform(1.0, 100.0, size=(b, h, w)).astype(np.float32))]
 
   _mark("train-step compile start")
   # AOT: one lower+compile serves both the timed calls and cost_analysis
@@ -174,9 +178,11 @@ def main():
 
   pipe_s, pipe_flops = bench_pipeline(jax, jnp)
   fps = 1.0 / pipe_s
-  train_s, train_flops = bench_train_step(jax, jnp)
+  train_s, train_flops = bench_train_step(jax, jnp, b=1)
+  train2_s, train2_flops = bench_train_step(jax, jnp, b=2)
 
-  extras = {"train_step_s": round(train_s, 4)}
+  extras = {"train_step_s": round(train_s, 4),
+            "train_b2_ms_per_example": round(train2_s / 2 * 1e3, 1)}
   if pipe_flops:
     extras["pipeline_mfu_pct"] = round(
         100.0 * pipe_flops / pipe_s / (PEAK_BF16_TFLOPS * 1e12), 2)
@@ -185,6 +191,9 @@ def main():
     extras["train_mfu_pct"] = round(
         100.0 * train_flops / train_s / (PEAK_BF16_TFLOPS * 1e12), 2)
     extras["train_tflops"] = round(train_flops / 1e12, 3)
+  if train2_flops:
+    extras["train_b2_mfu_pct"] = round(
+        100.0 * train2_flops / train2_s / (PEAK_BF16_TFLOPS * 1e12), 2)
 
   print(json.dumps({
       "metric": "two_stage_pipeline_frames_per_sec_per_chip",
