@@ -131,6 +131,8 @@ class TorchBatchNorm(nn.Module):
 
 # lane-major layouts: which NDHWC spatial axis rides the TPU lanes
 _LANE_SPEC = {"W": "NDHCW", "H": "NDWCH"}
+# 2-D analog: (B, M, C, L) with W or H on the lanes
+_LANE_SPEC_2D = {"W": "NHCW", "H": "NWCH"}
 
 
 class Conv3dDFold(nn.Module):
@@ -240,26 +242,83 @@ class Conv3dDFold(nn.Module):
     return y
 
 
-class Conv2dBand(nn.Module):
-  """3x3 stride-1 SAME 2-D conv through the lane-major Pallas kernel
-  (``ops/pallas/conv2d_kernel.py``). Same param tree as ``nn.Conv``
-  (kernel HWIO + optional bias); gradient-safe via a custom VJP that
-  differentiates the equivalent XLA conv."""
+class Conv2dLane(nn.Module):
+  """2-D conv on a lane-major ``(B, M, C, L)`` input (M = H, L = W on the
+  TPU lanes) with the same param tree as ``nn.Conv`` (``kernel`` HWIO,
+  optional ``bias``), so checkpoints interchange with the NHWC path.
+
+  Stride-1 3x3 SAME shapes that pass ``lane_conv2d_ok`` run the fused
+  Pallas band kernel with the (BN-affine, residual, ReLU) epilogue applied
+  while the tile is in VMEM; everything else runs an XLA conv with
+  lane-major dimension numbers and the epilogue in XLA. Keeping whole
+  blocks in this layout is what makes the band kernel pay off in-program
+  (see the note in :func:`conv_nd`).
+  """
   features: int
+  kernel: Sequence[int] = (3, 3)
+  stride: Sequence[int] = (1, 1)
+  pad: Sequence[int] = (1, 1)
   use_bias: bool = False
   kernel_init: Any = None
 
   @nn.compact
-  def __call__(self, x):
-    from mode_tpu.ops.pallas.conv2d_kernel import conv2d_3x3_fast
-    cin = x.shape[-1]
+  def __call__(self, x, scale=None, bias=None, residual=None,
+               relu: bool = False):
+    from mode_tpu.ops.pallas.conv2d_kernel import (
+        conv2d_band_pallas, lane_conv2d_ok)
+    cin = x.shape[2]
     w = self.param("kernel", self.kernel_init or msra_normal_init(),
-                   (3, 3, cin, self.features))
-    y = conv2d_3x3_fast(x, w.astype(x.dtype))
-    if self.use_bias:
-      b = self.param("bias", nn.initializers.zeros, (self.features,))
-      y = y + b.astype(y.dtype)
-    return y
+                   (*self.kernel, cin, self.features))
+    w = w.astype(x.dtype)
+    b = (self.param("bias", nn.initializers.zeros, (self.features,))
+         if self.use_bias else None)
+
+    if (tuple(self.kernel) == (3, 3) and tuple(self.stride) == (1, 1)
+        and tuple(self.pad) == (1, 1) and b is None
+        and lane_conv2d_ok(x.shape, self.features,
+                           jnp.dtype(x.dtype).itemsize,
+                           residual is not None)):
+      if cin % 8:
+        pc = -cin % 8
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pc), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, pc), (0, 0)))
+      return conv2d_band_pallas(x, w, scale, bias, residual, relu=relu)
+
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, (_LANE_SPEC_2D["W"], "HWIO", _LANE_SPEC_2D["W"]))
+    y = jax.lax.conv_general_dilated(
+        x, w, tuple(self.stride), [(p, p) for p in self.pad],
+        dimension_numbers=dn, precision=mxu_precision(x.dtype))
+    yf = y.astype(jnp.float32)
+    if scale is not None:
+      yf = yf * scale[:, None] + bias[:, None]
+    if b is not None:
+      yf = yf + b.astype(jnp.float32)[:, None]
+    if residual is not None:
+      yf = yf + residual.astype(jnp.float32)
+    if relu:
+      yf = jnp.maximum(yf, 0.0)
+    return yf.astype(x.dtype)
+
+
+def convbn2d_lane(x, features, prefix, *, relu: bool = False,
+                  residual=None):
+  """Eval-only lane-major ``convbn`` (+ optional residual / ReLU): the same
+  param tree as :func:`convbn` (``prefix.0`` conv, ``prefix.1`` BN), with
+  the eval BN folded to a per-channel affine and fused into the conv's
+  epilogue instead of running as a separate elementwise pass."""
+  scale, bias = TorchBatchNorm(name=f"{prefix}.1")(
+      None, False, affine_only=True, features=features)
+  return Conv2dLane(features, name=f"{prefix}.0")(
+      x, scale=scale, bias=bias, residual=residual, relu=relu)
+
+
+def bn_relu_lane(x, prefix, features):
+  """Eval BN (folded affine) + ReLU on a lane-major (B, M, C, L) tensor."""
+  scale, bias = TorchBatchNorm(name=prefix)(
+      None, False, affine_only=True, features=features)
+  y = x.astype(jnp.float32) * scale[:, None] + bias[:, None]
+  return jnp.maximum(y, 0.0).astype(x.dtype)
 
 
 def conv_nd(x: jnp.ndarray, features: int, kernel: Sequence[int], *,
@@ -279,21 +338,19 @@ def conv_nd(x: jnp.ndarray, features: int, kernel: Sequence[int], *,
                     use_bias=use_bias, kernel_init=kernel_init,
                     name=name)(x)
   else:
-    use_band = False
-    if nd == 2 and not train:
-      from mode_tpu.ops.pallas.conv2d_kernel import conv2d_pallas_eligible
-      use_band = conv2d_pallas_eligible(x.shape, kernel, stride, pad,
-                                        dilation, features)
-    if use_band:
-      y = Conv2dBand(features, use_bias=use_bias, kernel_init=kernel_init,
-                     name=name)(x)
-    else:
-      y = nn.Conv(features, tuple(kernel), strides=stride,
-                  padding=[(p, p) for p in pad], kernel_dilation=dilation,
-                  use_bias=use_bias,
-                  kernel_init=kernel_init or msra_normal_init(),
-                  bias_init=nn.initializers.zeros,
-                  precision=mxu_precision(x.dtype), name=name)(x)
+    # NOTE: no per-call Pallas dispatch here. Standalone the band kernel
+    # wins every eligible shape (scripts/bench_conv2d_pallas.py), but
+    # in-program the per-call NHWC<->lane transposes plus the lost conv+BN+
+    # ReLU XLA fusion cost ~29 ms/frame net on the two-stage pipeline
+    # (2.81 -> 2.60 fps, round-3 A/B). The kernel pays off only when a whole
+    # block stays lane-major with the epilogue fused — see Conv2dLane /
+    # convbn2d_lane and the fusion net's eval path (models/fusion.py).
+    y = nn.Conv(features, tuple(kernel), strides=stride,
+                padding=[(p, p) for p in pad], kernel_dilation=dilation,
+                use_bias=use_bias,
+                kernel_init=kernel_init or msra_normal_init(),
+                bias_init=nn.initializers.zeros,
+                precision=mxu_precision(x.dtype), name=name)(x)
   # no-op unless a remat policy saves by this name (models/disparity.py's
   # remat_policy="save_convs": keep conv outputs, recompute only the cheap
   # BN/ReLU elementwise tail in the backward pass)
@@ -323,9 +380,9 @@ class ConvTranspose(nn.Module):
            for k in self.kernel]
     spatial = "DHW"[3 - nd:]
     if lane_xla is not None:
-      assert nd == 3
       in_lane, out_lane = lane_xla
-      specs = (_LANE_SPEC[in_lane], "DHWIO", _LANE_SPEC[out_lane])
+      table = _LANE_SPEC if nd == 3 else _LANE_SPEC_2D
+      specs = (table[in_lane], f"{spatial}IO", table[out_lane])
     else:
       specs = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
     dn = jax.lax.conv_dimension_numbers(x.shape, w_io.shape, specs)
@@ -518,3 +575,15 @@ class FusionBasicBlock(nn.Module):
     out = convbn(out, train, self.features, 3, 1, self.pad, self.dilation,
                  "conv2.0")
     return nn.relu(out)
+
+
+class FusionBasicBlockLane(nn.Module):
+  """Lane-major eval twin of :class:`FusionBasicBlock` (same param tree):
+  both convbn+ReLU stages run through :func:`convbn2d_lane` with the BN and
+  ReLU fused into the conv epilogue."""
+  features: int
+
+  @nn.compact
+  def __call__(self, x):
+    out = convbn2d_lane(x, self.features, "conv1.0", relu=True)
+    return convbn2d_lane(out, self.features, "conv2.0", relu=True)

@@ -21,9 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from mode_tpu.models.blocks import (
+    Conv2dLane,
     ConvTranspose,
     FusionBasicBlock,
+    FusionBasicBlockLane,
     TorchBatchNorm,
+    bn_relu_lane,
     conv_nd,
 )
 
@@ -39,6 +42,29 @@ def _maxpool2(x):
   return nn.max_pool(x, (2, 2), (2, 2))
 
 
+def _layer_lane(x, feats, blocks, prefix, start=0):
+  for i in range(blocks):
+    x = FusionBasicBlockLane(feats, name=f"{prefix}.{start + i}")(x)
+  return x
+
+
+def _maxpool2_lane(x):
+  """2x2/2 max-pool on lane-major (B, M, C, L)."""
+  b, m, c, l = x.shape
+  x = jnp.maximum(x[:, 0::2], x[:, 1::2])
+  return x.reshape(b, m // 2, c, l // 2, 2).max(axis=-1)
+
+
+def _lane_eligible(shape) -> bool:
+  """Whether the eval forward should run lane-major (W on the TPU lanes)
+  end-to-end. Per-call NHWC dispatch of the band kernel measured *slower*
+  in-program (see models/blocks.py:conv_nd); whole-net lane residency with
+  fused epilogues is the formulation that wins."""
+  from mode_tpu.ops.pallas.conv2d_kernel import pallas_policy_ok
+  b, h, w, c = shape
+  return w % 128 == 0 and h % 8 == 0 and pallas_policy_ok()
+
+
 class FeatureExtractionFusion(nn.Module):
   """``feature_extraction_MODE_Fusion`` (mode_fusion.py:91-247).
 
@@ -50,6 +76,8 @@ class FeatureExtractionFusion(nn.Module):
   @nn.compact
   def __call__(self, depth_in, rgb_in, train: bool):
     ch = self.channels
+    if not train and _lane_eligible(depth_in.shape):
+      return self._forward_lane(depth_in, rgb_in, ch)
     # ---- depth encoder
     d1 = _layer(depth_in, train, ch[0], 2, "depth_layer1")
     d2 = _layer(_maxpool2(d1), train, ch[1], 1, "depth_layer2", start=1)
@@ -95,6 +123,44 @@ class FeatureExtractionFusion(nn.Module):
     # sigmoid × max_depth in f32: a bfloat16 depth at 1000 m quantizes to
     # ~4 m steps
     return jax.nn.sigmoid(d7.astype(jnp.float32)) * self.max_depth
+
+  def _forward_lane(self, depth_in, rgb_in, ch):
+    """Eval forward in lane-major (B, H, C, W) layout: one transpose in,
+    one out; every stride-1 3x3 convbn(+ReLU) runs the fused Pallas band
+    kernel (BN affine + ReLU in the epilogue), the deepest level (W/8
+    lanes < 128) and the 2x2 transpose-convs run XLA convs with lane-major
+    dimension numbers. Param tree identical to the NHWC path."""
+    d = jnp.transpose(depth_in, (0, 1, 3, 2))
+    r = jnp.transpose(rgb_in, (0, 1, 3, 2))
+    d1 = _layer_lane(d, ch[0], 2, "depth_layer1")
+    d2 = _layer_lane(_maxpool2_lane(d1), ch[1], 1, "depth_layer2", start=1)
+    d3 = _layer_lane(_maxpool2_lane(d2), ch[2], 1, "depth_layer3", start=1)
+    d4 = _layer_lane(_maxpool2_lane(d3), ch[3], 1, "depth_layer4", start=1)
+    d4 = ConvTranspose(ch[3] // 2, (2, 2), stride=2, padding=0,
+                       output_padding=0, use_bias=True,
+                       name="depth_layer4.2")(d4, lane_xla=("W", "W"))
+    d4 = bn_relu_lane(d4, "depth_layer4.3", ch[3] // 2)
+    r1 = _layer_lane(r, ch[0], 2, "rgb_layer1")
+    r2 = _layer_lane(_maxpool2_lane(r1), ch[1], 1, "rgb_layer2", start=1)
+    r3 = _layer_lane(_maxpool2_lane(r2), ch[2], 1, "rgb_layer3", start=1)
+    f1 = _layer_lane(jnp.concatenate([d1, r1], 2), ch[0], 2, "fusion_layer1")
+    f2 = _layer_lane(jnp.concatenate([d2, r2], 2), ch[1], 2, "fusion_layer2")
+    f3 = _layer_lane(jnp.concatenate([d3, r3], 2), ch[2], 2, "fusion_layer3")
+    d5 = _layer_lane(jnp.concatenate([f3, d4], 2), ch[2], 1, "depth_layer5")
+    d5 = ConvTranspose(ch[2] // 2, (2, 2), stride=2, padding=0,
+                       output_padding=0, use_bias=True,
+                       name="depth_layer5.1")(d5, lane_xla=("W", "W"))
+    d5 = bn_relu_lane(d5, "depth_layer5.2", ch[2] // 2)
+    d6 = _layer_lane(jnp.concatenate([f2, d5], 2), ch[1], 1, "depth_layer6")
+    d6 = ConvTranspose(ch[1] // 2, (2, 2), stride=2, padding=0,
+                       output_padding=0, use_bias=True,
+                       name="depth_layer6.1")(d6, lane_xla=("W", "W"))
+    d6 = bn_relu_lane(d6, "depth_layer6.2", ch[1] // 2)
+    d7 = _layer_lane(jnp.concatenate([f1, d6], 2), ch[0], 2, "depth_layer7")
+    d7 = Conv2dLane(1, kernel=(1, 1), stride=(1, 1), pad=(0, 0),
+                    use_bias=True, name="depth_layer7.2")(d7)
+    out = jax.nn.sigmoid(d7.astype(jnp.float32)) * self.max_depth
+    return jnp.transpose(out, (0, 1, 3, 2))
 
 
 class ModeFusion(nn.Module):

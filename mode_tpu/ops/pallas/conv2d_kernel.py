@@ -303,33 +303,15 @@ def _conv2d_fast_bwd(res, g):
 conv2d_3x3_fast.defvjp(_conv2d_fast_fwd, _conv2d_fast_bwd)
 
 
-def conv2d_pallas_eligible(x_shape, kernel, stride, pad, dilation,
-                           cout) -> bool:
-  """Static gate for the Pallas conv2d fast path (NHWC shapes). Respects
-  the conv3d kernel's mode switch and mesh/platform gates (one policy for
-  all the Pallas fast paths)."""
+def pallas_policy_ok() -> bool:
+  """The shared mode/mesh/platform policy for the 2-D Pallas fast paths."""
   from mode_tpu.ops.pallas.conv3d_kernel import _CONV3D_MODE
   if _CONV3D_MODE == "off":
     return False
-  if tuple(kernel) != (3, 3) or tuple(stride) != (1, 1):
-    return False
-  if tuple(pad) != (1, 1) or tuple(dilation) != (1, 1):
-    return False
-  b, h, w, c = x_shape
-  if c % 8 != 0 or cout % 8 != 0:
-    return False
-  la = lane_axis_for_2d(x_shape)
-  if la is None:
-    return False
-  m = h if la == 2 else w
-  lanes = w if la == 2 else h
   from mode_tpu.parallel.mesh import active_mesh
   mesh = active_mesh()
   if mesh is not None and mesh.size > 1:
     # no shard_map wrapper for the 2-D kernel yet: stay on XLA under a mesh
-    return False
-  itemsize = jnp.dtype(jnp.bfloat16).itemsize
-  if _pick_mb(m, c, cout, lanes, itemsize, False) is None:
     return False
   if _CONV3D_MODE == "on":
     return True
@@ -337,3 +319,19 @@ def conv2d_pallas_eligible(x_shape, kernel, stride, pad, dilation,
     return jax.devices()[0].platform in ("tpu", "axon")
   except RuntimeError:
     return False
+
+
+def lane_conv2d_ok(x_shape, cout, itemsize: int = 2,
+                   has_res: bool = False) -> bool:
+  """Static gate for :func:`conv2d_band_pallas` on an already lane-major
+  ``(B, M, C, L)`` input (stride-1 3x3 SAME assumed by the caller). ``C``
+  may be padded up to the next multiple of 8 by the caller."""
+  b, m, cin, lanes = x_shape
+  cin = -(-cin // 8) * 8
+  if cout % 8 != 0 or lanes % 128 != 0:
+    return False
+  if _pick_mb(m, cin, cout, lanes, itemsize, has_res) is None:
+    return False
+  return pallas_policy_ok()
+
+

@@ -85,10 +85,10 @@ def test_conv2d_fast_grads_match_xla(interpret_pallas):
 
 
 def test_fusion_net_pallas_dispatch_parity(interpret_pallas):
-  """ModeFusion eval forward with the conv2d fast path forced on equals
-  the pure-XLA forward at trained-irrelevant random weights; and the
-  forced-on path actually creates Conv2dBand dispatches (param tree is
-  unchanged either way)."""
+  """ModeFusion eval forward with the Pallas mode forced on — which takes
+  the lane-major `_forward_lane` path (fused BN/ReLU epilogues, lane-major
+  XLA at the small-lane deep level) — equals the pure-XLA NHWC forward at
+  random weights, with the param tree unchanged either way."""
   from mode_tpu.models.fusion import ModeFusion
 
   h, w = 32, 128
