@@ -164,13 +164,31 @@ class Conv3dDFold(nn.Module):
 
   @nn.compact
   def __call__(self, x: jnp.ndarray, lane_fused=None,
-               lane_xla=None) -> jnp.ndarray:
-    cin = x.shape[-2] if (lane_fused or lane_xla) else x.shape[-1]
+               lane_xla=None, lane_s2=None) -> jnp.ndarray:
+    cin = x.shape[-2] if (lane_fused or lane_xla or lane_s2) else x.shape[-1]
     w = self.param("kernel", self.kernel_init or msra_normal_init(),
                    (*self.kernel, cin, self.features))
     dt = jnp.promote_types(x.dtype, w.dtype)
     x = x.astype(dt)
     w = w.astype(dt)
+
+    if lane_s2 is not None:
+      from mode_tpu.ops.pallas.conv3d_kernel import (
+          conv3d_band_s2_pallas, weight_lane_major)
+      from mode_tpu.parallel.mesh import active_mesh
+      assert tuple(self.kernel) == (3, 3, 3)
+      assert tuple(self.stride) == (2, 2, 2) and tuple(self.pad) == (1, 1, 1)
+      assert not self.use_bias
+      wl = weight_lane_major(w, lane_s2["lane_axis"])
+      mesh = active_mesh()
+      if mesh is not None and mesh.size > 1:
+        from mode_tpu.parallel.shard_ops import conv3d_band_s2_sharded
+        return conv3d_band_s2_sharded(
+            x, wl, lane_s2.get("scale"), lane_s2.get("bias"),
+            lane_s2.get("relu", False), mesh)
+      return conv3d_band_s2_pallas(x, wl, lane_s2.get("scale"),
+                                   lane_s2.get("bias"),
+                                   relu=lane_s2.get("relu", False))
 
     if lane_fused is not None:
       from mode_tpu.ops.pallas.conv3d_kernel import (
@@ -369,11 +387,31 @@ class ConvTranspose(nn.Module):
   use_bias: bool = False
 
   @nn.compact
-  def __call__(self, x: jnp.ndarray, lane_xla=None) -> jnp.ndarray:
+  def __call__(self, x: jnp.ndarray, lane_xla=None,
+               lane_dec=None) -> jnp.ndarray:
     nd = len(self.kernel)
-    cin = x.shape[-2] if lane_xla else x.shape[-1]
+    cin = x.shape[-2] if (lane_xla or lane_dec) else x.shape[-1]
     w = self.param("kernel_t", _transpose_init(),
                    (*self.kernel, self.features, cin))
+    if lane_dec is not None:
+      # fused Pallas deconv (k=3, s=2, p=1, op=1) on a lane-major volume;
+      # the kernel flips/reorders the raw torch-layout param itself
+      from mode_tpu.ops.pallas.conv3d_kernel import conv3d_band_deconv_pallas
+      from mode_tpu.parallel.mesh import active_mesh
+      assert nd == 3 and tuple(self.kernel) == (3, 3, 3)
+      assert self.stride == 2 and self.padding == 1
+      assert self.output_padding == 1 and not self.use_bias
+      mesh = active_mesh()
+      if mesh is not None and mesh.size > 1:
+        from mode_tpu.parallel.shard_ops import conv3d_band_deconv_sharded
+        return conv3d_band_deconv_sharded(
+            x, w.astype(x.dtype), lane_dec.get("scale"),
+            lane_dec.get("bias"), lane_dec.get("relu", False),
+            lane_dec["lane_axis"], mesh)
+      return conv3d_band_deconv_pallas(
+          x, w.astype(x.dtype), lane_dec.get("scale"), lane_dec.get("bias"),
+          relu=lane_dec.get("relu", False),
+          lane_axis=lane_dec["lane_axis"])
     w_flipped = jnp.flip(w, axis=tuple(range(nd)))
     w_io = jnp.swapaxes(w_flipped, -1, -2)                # (*K, I, O)
     pad = [(k - 1 - self.padding, k - 1 - self.padding + self.output_padding)
@@ -458,7 +496,7 @@ def convbn_3d_lane(x, features, kernel, stride, pad, prefix, *, in_lane,
   configs run an XLA conv in the lane-major layout (``out_lane`` may differ
   so downstream convs keep full lanes) with the epilogue applied by XLA.
   """
-  from mode_tpu.ops.pallas.conv3d_kernel import band_pallas_ok
+  from mode_tpu.ops.pallas.conv3d_kernel import band_pallas_ok, band_s2_ok
   out_lane = out_lane or in_lane
   scale, bias = TorchBatchNorm(name=f"{prefix}.1")(
       None, False, affine_only=True, features=features)
@@ -470,6 +508,15 @@ def convbn_3d_lane(x, features, kernel, stride, pad, prefix, *, in_lane,
     return conv(x, lane_fused=dict(lane_axis=3 if in_lane == "W" else 2,
                                    scale=scale, bias=bias,
                                    residual=residual, relu=relu))
+  if (kernel == 3 and stride == 2 and pad == 1 and residual is None
+      and band_s2_ok(x.shape, features, jnp.dtype(x.dtype).itemsize)):
+    y = conv(x, lane_s2=dict(lane_axis=3 if in_lane == "W" else 2,
+                             scale=scale, bias=bias, relu=relu))
+    if out_lane != in_lane:
+      # the s2 kernel halves the lane axis in place; switch the band/lane
+      # axes here so downstream convs see the full-width axis on the lanes
+      y = jnp.swapaxes(y, 2, 4)
+    return y
   y = conv(x, lane_xla=(in_lane, out_lane)).astype(jnp.float32)
   y = y * scale[:, None] + bias[:, None]
   if residual is not None:

@@ -46,9 +46,23 @@ class SphereFeatureExtraction(nn.Module):
 
   @nn.compact
   def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-    for i, (feat, k, s, p) in enumerate([(32, 7, 2, 3), (32, 3, 1, 1),
-                                         (32, 3, 1, 1)]):
-      x = nn.relu(convbn(x, train, feat, k, s, p, 1, f"firstconv.{2 * i}"))
+    from mode_tpu.models.blocks import convbn2d_lane
+    from mode_tpu.ops.pallas.conv2d_kernel import pallas_policy_ok
+
+    if not train and x.shape[2] % 256 == 0 and pallas_policy_ok():
+      # eval: the two stride-1 stem convs run the fused 2-D band kernel
+      # (BN+ReLU in the epilogue) in lane-major; the 7x7/2 stem conv stays
+      # NHWC XLA (C=3 input, stride 2)
+      x = nn.relu(convbn(x, train, 32, 7, 2, 3, 1, "firstconv.0"))
+      xl = jnp.transpose(x, (0, 1, 3, 2))
+      xl = convbn2d_lane(xl, 32, "firstconv.2", relu=True)
+      xl = convbn2d_lane(xl, 32, "firstconv.4", relu=True)
+      x = jnp.transpose(xl, (0, 1, 3, 2))
+    else:
+      for i, (feat, k, s, p) in enumerate([(32, 7, 2, 3), (32, 3, 1, 1),
+                                           (32, 3, 1, 1)]):
+        x = nn.relu(convbn(x, train, feat, k, s, p, 1,
+                           f"firstconv.{2 * i}"))
 
     def stage(x, block_cls, prefix, feats, blocks, stride, dilation,
               **kw):
@@ -145,13 +159,21 @@ class Hourglass(nn.Module):
       post = jnp.maximum(up.astype(jnp.float32) * s5[:, None] + b5[:, None]
                          + res.astype(jnp.float32), 0.0).astype(x.dtype)
 
-      out = ConvTranspose(self.inplanes, (3, 3, 3), stride=2, padding=1,
-                          output_padding=1,
-                          name="conv6.0")(post, lane_xla=("H", "W"))
+      from mode_tpu.ops.pallas.conv3d_kernel import band_deconv_ok
       s6, b6 = TorchBatchNorm(name="conv6.1")(None, False, affine_only=True,
                                               features=self.inplanes)
-      out = (out.astype(jnp.float32) * s6[:, None]
-             + b6[:, None]).astype(x.dtype)
+      ct6 = ConvTranspose(self.inplanes, (3, 3, 3), stride=2, padding=1,
+                          output_padding=1, name="conv6.0")
+      if band_deconv_ok(post.shape, self.inplanes,
+                        jnp.dtype(post.dtype).itemsize):
+        # fused Pallas deconv doubles the lane (H) axis in place; swap the
+        # band/lane axes after so the 1/4-res stack sees W on the lanes
+        out = ct6(post, lane_dec=dict(lane_axis=2, scale=s6, bias=b6))
+        out = jnp.swapaxes(out, 2, 4)
+      else:
+        out = ct6(post, lane_xla=("H", "W"))
+        out = (out.astype(jnp.float32) * s6[:, None]
+               + b6[:, None]).astype(x.dtype)
       return out, pre, post
 
     out = nn.relu(convbn_3d(x, train, p2, 3, 2, 1, "conv1.0"))      # 1/8

@@ -177,6 +177,8 @@ def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
     y = conv3d_band_pallas(x, weight, scale, bias, residual, relu,
                            m_halo=m_halo)
     return y[:, :, :, :cout]
+  # lanes must be full 128-tiles: sub-128 lane tiles fail Mosaic lowering
+  # (probed on-chip round 3 — the 1/16 hourglass level stays on XLA)
   assert lanes % 128 == 0 and cin % 8 == 0 and cout % 8 == 0
   itemsize = jnp.dtype(x.dtype).itemsize
 
@@ -239,6 +241,416 @@ def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
           * itemsize * 2,
           transcendentals=0),
   )(xp, w2, sb, res)
+
+
+def _kernel_s2(x_ref, w_ref, sb_ref, o_ref, bands_ref, z_ref, sem, *,
+               db, mb, cin, cout, lanes, relu):
+  """Stride-2 variant: grid/blocks index the OUTPUT volume; a block's band
+  covers input planes ``2db+1`` and rows ``2mb+1`` (x_ref is the padded
+  input, so plane/row ``2*o`` is the left tap of output ``o``). Each output
+  plane sums three (3Cout, 3Cin) @ (3Cin, L) dots — one per kd, reusing the
+  stride-1 weight layout — and the kw recombination decimates the lanes on
+  the MXU: ``out = sum_kw Z_kw @ S_kw`` with ``S_kw[i, j] = (i == 2j+kw-1)``,
+  which also zeroes the SAME-pad edge taps for free. The M/D decimation is
+  free (the dot windows just step by 2)."""
+  b = pl.program_id(0)
+  d = pl.program_id(1)
+  m = pl.program_id(2)
+  nd = pl.num_programs(1)
+  nm = pl.num_programs(2)
+  lin = (b * nd + d) * nm + m
+  total = pl.num_programs(0) * nd * nm
+  slot = lax.rem(lin, 2)
+
+  def band_dma(slot_idx, b_, d_, m_):
+    return pltpu.make_async_copy(
+        x_ref.at[b_, pl.ds(d_ * 2 * db, 2 * db + 1),
+                 pl.ds(m_ * 2 * mb * cin, (2 * mb + 1) * cin)],
+        bands_ref.at[slot_idx], sem.at[slot_idx])
+
+  @pl.when(lin == 0)
+  def _first():
+    band_dma(slot, b, d, m).start()
+
+  @pl.when(lin + 1 < total)
+  def _prefetch():
+    nxt = lin + 1
+    m2 = lax.rem(nxt, nm)
+    d2 = lax.rem(nxt // nm, nd)
+    b2 = nxt // (nm * nd)
+    band_dma(1 - slot, b2, d2, m2).start()
+
+  band_dma(slot, b, d, m).wait()
+
+  prec = _mxu_precision(w_ref.dtype)
+  for dd in range(db):
+    for mo in range(mb):
+      acc = None
+      for kd in range(3):
+        zz = jnp.dot(
+            w_ref[kd],
+            bands_ref[slot, 2 * dd + kd, 2 * mo * cin:(2 * mo + 3) * cin],
+            preferred_element_type=jnp.float32, precision=prec)
+        acc = zz if acc is None else acc + zz
+      z_ref[dd, mo] = acc                       # (3Cout, L) f32
+
+  half = lanes // 2
+  nrow = db * mb
+  z = z_ref[:].reshape(nrow, 3 * cout, lanes)
+  il = jax.lax.broadcasted_iota(jnp.int32, (lanes, half), 0)
+  jl = jax.lax.broadcasted_iota(jnp.int32, (lanes, half), 1)
+  # bf16 operands for the selection matmuls on the bf16 path (0/1 entries
+  # are exact; the values round to the output dtype anyway — one extra
+  # rounding vs the epilogue's) — f32 stays f32 at HIGHEST
+  seldt = jnp.bfloat16 if o_ref.dtype == jnp.bfloat16 else jnp.float32
+  out = None
+  for kw in range(3):
+    sel = jnp.where(il == 2 * jl + kw - 1, 1.0, 0.0).astype(seldt)
+    g = z[:, kw * cout:(kw + 1) * cout].reshape(nrow * cout, lanes)
+    t = jnp.dot(g.astype(seldt), sel, preferred_element_type=jnp.float32,
+                precision=_mxu_precision(seldt))
+    out = t if out is None else out + t
+  out = out.reshape(nrow, cout, half)
+  out = out * sb_ref[0][None] + sb_ref[1][None]
+  if relu:
+    out = jnp.maximum(out, 0.0)
+  o_ref[0] = out.reshape(db, mb, cout, half).astype(o_ref.dtype)
+
+
+def _pick_blocks_s2(d2, m2, cin, cout, lanes, itemsize):
+  """(db, mb) in OUTPUT coordinates for the stride-2 kernel."""
+  def vmem(db, mb):
+    return (2 * (2 * db + 1) * (2 * mb + 1) * cin * lanes * itemsize +
+            2 * db * mb * cout * (lanes // 2) * itemsize +
+            3 * 3 * cout * 3 * cin * itemsize +
+            db * mb * 3 * cout * lanes * 4)
+
+  for db, mb in ((4, 8), (4, 4), (2, 8), (2, 4), (2, 2), (1, 2), (1, 1)):
+    if d2 % db == 0 and m2 % mb == 0 and vmem(db, mb) <= 10 * 2**20:
+      return db, mb
+  return None
+
+
+def conv3d_band_s2_pallas(x: jnp.ndarray, weight: jnp.ndarray,
+                          scale: jnp.ndarray | None = None,
+                          bias: jnp.ndarray | None = None,
+                          relu: bool = False,
+                          m_halo: bool = False) -> jnp.ndarray:
+  """Fused stride-2 pad-1 3x3x3 conv (+affine +ReLU), lane-major.
+
+  Args:
+    x: (B, D, M, C, L) with D, M, L even, L a multiple of 128, C of 8.
+    weight: (3, 3, 3, C, Cout) in (kd, k_band, k_lane, in, out) order.
+    m_halo: ``x`` already carries its ±1 M halo rows (SPMD shard-local
+      call, ``parallel/shard_ops.py``); output then has (M-2)//2 rows.
+  Returns:
+    (B, D//2, M//2, Cout, L//2) in x.dtype (lane axis is halved, NOT
+    re-tiled: downstream band convs need ``L//2 >= 128`` or an XLA hop).
+
+  The XLA lane-major stride-2 conv runs at 3-6 bf16-TFLOP/s at the
+  hourglass shapes (both C dims < 128 starve the MXU; round-3 probes) and
+  the phase-packed s2d XLA form is transpose-bound; this kernel keeps the
+  band structure (55-65 TFLOP/s raw) and pays only the 3 selection matmuls
+  (+44% MACs) for the lane decimation.
+  """
+  b, d, m, cin, lanes = x.shape
+  if m_halo:
+    m = m - 2
+  kd, kh, kw, wcin, cout = weight.shape
+  assert (kd, kh, kw) == (3, 3, 3) and wcin == cin
+  assert d % 2 == 0 and m % 2 == 0 and lanes % 128 == 0
+  assert cin % 8 == 0 and cout % 8 == 0
+  itemsize = jnp.dtype(x.dtype).itemsize
+
+  blocks = _pick_blocks_s2(d // 2, m // 2, cin, cout, lanes, itemsize)
+  assert blocks is not None, (x.shape,)
+  db, mb = blocks
+
+  w2 = jnp.transpose(weight, (0, 2, 4, 1, 3)).reshape(3, 3 * cout, 3 * cin)
+  w2 = w2.astype(x.dtype)
+
+  sb = jnp.stack([
+      jnp.ones((cout,), jnp.float32) if scale is None
+      else scale.astype(jnp.float32),
+      jnp.zeros((cout,), jnp.float32) if bias is None
+      else bias.astype(jnp.float32),
+  ])[:, :, None]                                       # (2, Cout, 1)
+
+  m_pad = (0, 0) if m_halo else (1, 1)
+  xp = jnp.pad(x, ((0, 0), (1, 1), m_pad, (0, 0), (0, 0)))
+  xp = xp.reshape(b, d + 2, (m + 2) * cin, lanes)
+
+  kernel = functools.partial(_kernel_s2, db=db, mb=mb, cin=cin, cout=cout,
+                             lanes=lanes, relu=relu)
+  flops = 2 * b * (d // 2) * (m // 2) * (lanes // 2) * 27 * cin * cout
+  return pl.pallas_call(
+      kernel,
+      grid=(b, d // 2 // db, m // 2 // mb),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec((3, 3 * cout, 3 * cin), lambda i, j, k: (0, 0, 0)),
+          pl.BlockSpec((2, cout, 1), lambda i, j, k: (0, 0, 0)),
+      ],
+      out_specs=pl.BlockSpec((1, db, mb, cout, lanes // 2),
+                             lambda i, j, k: (i, j, k, 0, 0)),
+      out_shape=jax.ShapeDtypeStruct((b, d // 2, m // 2, cout, lanes // 2),
+                                     x.dtype),
+      scratch_shapes=[
+          pltpu.VMEM((2, 2 * db + 1, (2 * mb + 1) * cin, lanes), x.dtype),
+          pltpu.VMEM((db, mb, 3 * cout, lanes), jnp.float32),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      cost_estimate=pl.CostEstimate(
+          flops=flops * 2,           # dots compute full-lane pre-decimation
+          bytes_accessed=x.size * itemsize * 2,
+          transcendentals=0),
+  )(xp, w2, sb)
+
+
+def band_s2_ok(x_shape, cout, itemsize: int = 2) -> bool:
+  """Static gate for :func:`conv3d_band_s2_pallas` (lane-major shapes).
+  Under an active mesh the sharded wrapper (``parallel/shard_ops.py:
+  conv3d_band_s2_sharded``) runs shard-local, so the gate checks the mesh
+  axes divide B and the band axis (each shard's row range must start on an
+  even global index)."""
+  b, d, m, c, lanes = x_shape
+  if d % 2 or m % 2 or lanes % 128 or c % 8 or cout % 8:
+    return False
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
+    dp = mesh.shape.get("data", 1)
+    sp = mesh.shape.get("spatial", 1)
+    if b % dp != 0 or m % (2 * sp) != 0:
+      return False
+    m = m // sp
+  if _pick_blocks_s2(d // 2, m // 2, c, cout, lanes, itemsize) is None:
+    return False
+  if _CONV3D_MODE == "off":
+    return False
+  if _CONV3D_MODE == "on":
+    return True
+  try:
+    return jax.devices()[0].platform in ("tpu", "axon")
+  except RuntimeError:
+    return False
+
+
+def _kernel_dec(x_ref, wa_ref, wb_ref, sb_ref, o_ref, bands_ref, z_ref, sem,
+                *, db, mb, cin, cout, lanes, relu, m_halo):
+  """Transpose-conv (k=3, stride 2, pad 1, output_padding 1) band kernel.
+
+  Grid/blocks index the INPUT volume; each (db, mb) input block emits a
+  (2db, 2mb, Cout, 2L) output block. Sub-pixel decomposition: output plane
+  ``2d+phi_d`` reads input plane d (flipped tap kd=1) when ``phi_d=0`` and
+  planes d, d+1 (taps kd=0, kd=2) when ``phi_d=1`` — same for rows via the
+  contraction (``wb`` carries the two row taps over a contiguous (2C, L)
+  band slice), so every MAC is a useful deconv FLOP. The k_lane taps fold
+  into the dot's output rows as usual; the lane doubling is two scatter
+  matmuls ``out = g1 @ S(j==2i) + odd @ S(j==2i+1)``.
+  """
+  b = pl.program_id(0)
+  d = pl.program_id(1)
+  m = pl.program_id(2)
+  nd = pl.num_programs(1)
+  nm = pl.num_programs(2)
+  lin = (b * nd + d) * nm + m
+  total = pl.num_programs(0) * nd * nm
+  slot = lax.rem(lin, 2)
+  row0 = 1 if m_halo else 0
+
+  def band_dma(slot_idx, b_, d_, m_):
+    return pltpu.make_async_copy(
+        x_ref.at[b_, pl.ds(d_ * db, db + 1),
+                 pl.ds((m_ * mb + row0) * cin, (mb + 1) * cin)],
+        bands_ref.at[slot_idx], sem.at[slot_idx])
+
+  @pl.when(lin == 0)
+  def _first():
+    band_dma(slot, b, d, m).start()
+
+  @pl.when(lin + 1 < total)
+  def _prefetch():
+    nxt = lin + 1
+    m2 = lax.rem(nxt, nm)
+    d2 = lax.rem(nxt // nm, nd)
+    b2 = nxt // (nm * nd)
+    band_dma(1 - slot, b2, d2, m2).start()
+
+  band_dma(slot, b, d, m).wait()
+
+  prec = _mxu_precision(wa_ref.dtype)
+
+  def dot_a(kd, dd, mi):          # single-row tap (phi_m = 0)
+    return jnp.dot(wa_ref[kd], bands_ref[slot, dd, mi * cin:(mi + 1) * cin],
+                   preferred_element_type=jnp.float32, precision=prec)
+
+  def dot_b(kd, dd, mi):          # two-row taps (phi_m = 1)
+    return jnp.dot(wb_ref[kd], bands_ref[slot, dd, mi * cin:(mi + 2) * cin],
+                   preferred_element_type=jnp.float32, precision=prec)
+
+  for dd in range(db):
+    for mi in range(mb):
+      z_ref[2 * dd, 2 * mi] = dot_a(1, dd, mi)
+      z_ref[2 * dd, 2 * mi + 1] = dot_b(1, dd, mi)
+      z_ref[2 * dd + 1, 2 * mi] = dot_a(0, dd, mi) + dot_a(2, dd + 1, mi)
+      z_ref[2 * dd + 1, 2 * mi + 1] = (dot_b(0, dd, mi) +
+                                       dot_b(2, dd + 1, mi))
+
+  nrow = 4 * db * mb
+  z = z_ref[:].reshape(nrow, 3 * cout, lanes)
+  g0 = z[:, :cout].reshape(nrow * cout, lanes)
+  g1 = z[:, cout:2 * cout].reshape(nrow * cout, lanes)
+  g2 = z[:, 2 * cout:].reshape(nrow * cout, lanes)
+  lanes_i = jax.lax.broadcasted_iota(jnp.int32, (nrow * cout, lanes), 1)
+  odd = g0 + jnp.where(lanes_i == lanes - 1, 0.0,
+                       pltpu.roll(g2, lanes - 1, axis=1))
+
+  seldt = jnp.bfloat16 if o_ref.dtype == jnp.bfloat16 else jnp.float32
+  il = jax.lax.broadcasted_iota(jnp.int32, (lanes, 2 * lanes), 0)
+  jl = jax.lax.broadcasted_iota(jnp.int32, (lanes, 2 * lanes), 1)
+  se = jnp.where(jl == 2 * il, 1.0, 0.0).astype(seldt)
+  so = jnp.where(jl == 2 * il + 1, 1.0, 0.0).astype(seldt)
+  out = (jnp.dot(g1.astype(seldt), se, preferred_element_type=jnp.float32,
+                 precision=_mxu_precision(seldt)) +
+         jnp.dot(odd.astype(seldt), so, preferred_element_type=jnp.float32,
+                 precision=_mxu_precision(seldt)))
+  out = out.reshape(nrow, cout, 2 * lanes)
+  out = out * sb_ref[0][None] + sb_ref[1][None]
+  if relu:
+    out = jnp.maximum(out, 0.0)
+  o_ref[0] = out.reshape(2 * db, 2 * mb, cout, 2 * lanes).astype(o_ref.dtype)
+
+
+def _pick_blocks_dec(d, m, cin, cout, lanes, itemsize):
+  """(db, mb) in INPUT coordinates for the deconv kernel."""
+  def vmem(db, mb):
+    return (2 * (db + 1) * (mb + 1) * cin * lanes * itemsize +
+            2 * 4 * db * mb * cout * 2 * lanes * itemsize +
+            3 * 3 * cout * 3 * cin * itemsize +
+            4 * db * mb * 3 * cout * lanes * 4)
+
+  for db, mb in ((4, 8), (4, 4), (2, 4), (2, 2), (1, 2), (1, 1)):
+    if d % db == 0 and m % mb == 0 and vmem(db, mb) <= 10 * 2**20:
+      return db, mb
+  return None
+
+
+def conv3d_band_deconv_pallas(x: jnp.ndarray, kernel_t: jnp.ndarray,
+                              scale: jnp.ndarray | None = None,
+                              bias: jnp.ndarray | None = None,
+                              relu: bool = False, lane_axis: int = 3,
+                              m_halo: bool = False) -> jnp.ndarray:
+  """Fused ConvTranspose3d(k=3, s=2, p=1, op=1) (+affine +ReLU), lane-major.
+
+  Args:
+    x: (B, D, M, C, L), L a multiple of 128, C and Cout multiples of 8.
+    kernel_t: torch-layout transpose-conv param (3, 3, 3, O, I)
+      (``models/blocks.py:ConvTranspose``).
+    lane_axis: 3 if the NDHWC W axis rides the lanes, 2 for H (selects the
+      (k_band, k_lane) order of the taps).
+    m_halo: ``x`` carries ±1 M halo rows (shard-local call); the left halo
+      row is skipped (a transpose conv has no left dependence), the right
+      one supplies the cross-shard tap.
+  Returns:
+    (B, 2D, 2M, Cout, 2L) in x.dtype.
+
+  The XLA path lowers this via ``lhs_dilation`` — a 27-tap conv over a
+  zero-stuffed volume where only 27/64 of MACs are useful, measured 4-8
+  effective bf16-TFLOP/s at the hourglass decoder shapes. Here every dot
+  MAC is useful; the only overhead is the two lane-scatter matmuls.
+  """
+  b, d, m, cin, lanes = x.shape
+  if m_halo:
+    m = m - 2
+  assert lanes % 128 == 0 and cin % 8 == 0
+  kd_, kh_, kw_, cout, wcin = kernel_t.shape
+  assert (kd_, kh_, kw_) == (3, 3, 3) and wcin == cin
+  assert cout % 8 == 0
+  itemsize = jnp.dtype(x.dtype).itemsize
+
+  blocks = _pick_blocks_dec(d, m, cin, cout, lanes, itemsize)
+  assert blocks is not None, (x.shape,)
+  db, mb = blocks
+
+  # flipped kernel, (kd, k_band, k_lane, I, O)
+  wf = jnp.swapaxes(jnp.flip(kernel_t, axis=(0, 1, 2)), -1, -2)
+  if lane_axis == 2:
+    wf = jnp.transpose(wf, (0, 2, 1, 3, 4))
+  # fold k_lane into output rows: rows (k_lane, cout)
+  # wa[kd] : (3Cout, C)   single-row taps (k_band = 1)
+  # wb[kd] : (3Cout, 2C)  row-pair taps (k_band = 0 @ row, k_band = 2 @ +1)
+  wa = jnp.transpose(wf[:, 1], (0, 1, 3, 2))       # (kd, k_lane, O, C)
+  wa = wa.reshape(3, 3 * cout, cin).astype(x.dtype)
+  wb = jnp.stack([wf[:, 0], wf[:, 2]], axis=3)     # (kd, kl, I, 2, O)
+  wb = jnp.transpose(wb, (0, 1, 4, 3, 2))          # (kd, kl, O, 2, I)
+  wb = wb.reshape(3, 3 * cout, 2 * cin).astype(x.dtype)
+
+  sb = jnp.stack([
+      jnp.ones((cout,), jnp.float32) if scale is None
+      else scale.astype(jnp.float32),
+      jnp.zeros((cout,), jnp.float32) if bias is None
+      else bias.astype(jnp.float32),
+  ])[:, :, None]
+
+  # +1 right halo on D and M (the (k-1-p, k-1-p+op) pad of the dilated
+  # input reduces to one trailing plane/row of zeros)
+  m_pad = (0, 0) if m_halo else (0, 1)
+  xp = jnp.pad(x, ((0, 0), (0, 1), m_pad, (0, 0), (0, 0)))
+  mp = xp.shape[2]
+  xp = xp.reshape(b, d + 1, mp * cin, lanes)
+
+  kernel = functools.partial(_kernel_dec, db=db, mb=mb, cin=cin, cout=cout,
+                             lanes=lanes, relu=relu, m_halo=m_halo)
+  flops = 2 * b * d * m * lanes * 27 * cin * cout
+  return pl.pallas_call(
+      kernel,
+      grid=(b, d // db, m // mb),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec((3, 3 * cout, cin), lambda i, j, k: (0, 0, 0)),
+          pl.BlockSpec((3, 3 * cout, 2 * cin), lambda i, j, k: (0, 0, 0)),
+          pl.BlockSpec((2, cout, 1), lambda i, j, k: (0, 0, 0)),
+      ],
+      out_specs=pl.BlockSpec((1, 2 * db, 2 * mb, cout, 2 * lanes),
+                             lambda i, j, k: (i, j, k, 0, 0)),
+      out_shape=jax.ShapeDtypeStruct((b, 2 * d, 2 * m, cout, 2 * lanes),
+                                     x.dtype),
+      scratch_shapes=[
+          pltpu.VMEM((2, db + 1, (mb + 1) * cin, lanes), x.dtype),
+          pltpu.VMEM((2 * db, 2 * mb, 3 * cout, lanes), jnp.float32),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      cost_estimate=pl.CostEstimate(
+          flops=flops,
+          bytes_accessed=x.size * itemsize * 2,
+          transcendentals=0),
+  )(xp, wa, wb, sb)
+
+
+def band_deconv_ok(x_shape, cout, itemsize: int = 2) -> bool:
+  """Static gate for :func:`conv3d_band_deconv_pallas`."""
+  b, d, m, c, lanes = x_shape
+  if lanes % 128 or c % 8 or cout % 8:
+    return False
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
+    dp = mesh.shape.get("data", 1)
+    sp = mesh.shape.get("spatial", 1)
+    if b % dp != 0 or m % sp != 0:
+      return False
+    m = m // sp
+  if _pick_blocks_dec(d, m, c, cout, lanes, itemsize) is None:
+    return False
+  if _CONV3D_MODE == "off":
+    return False
+  if _CONV3D_MODE == "on":
+    return True
+  try:
+    return jax.devices()[0].platform in ("tpu", "axon")
+  except RuntimeError:
+    return False
 
 
 def lane_axis_for(shape) -> int | None:

@@ -85,6 +85,69 @@ def conv3d_band_sharded(x: jnp.ndarray, weight: jnp.ndarray,
       out_specs=shard, check_vma=False)(x, weight, sc, bb, rr)
 
 
+def conv3d_band_s2_sharded(x: jnp.ndarray, weight: jnp.ndarray,
+                           scale: jnp.ndarray | None,
+                           bias: jnp.ndarray | None,
+                           relu: bool, mesh) -> jnp.ndarray:
+  """:func:`~mode_tpu.ops.pallas.conv3d_kernel.conv3d_band_s2_pallas` over
+  a ('data', 'spatial') mesh: B over 'data', the band axis M over 'spatial'.
+  Each shard's M range starts on an even global index (gate: M % 2·sp == 0),
+  so the stride-2 windows only need the same ±1-plane ICI halo exchange as
+  the stride-1 conv; the output stays 'spatial'-sharded at M//2 per shard."""
+  from mode_tpu.ops.pallas.conv3d_kernel import conv3d_band_s2_pallas
+
+  sp = mesh.shape.get("spatial", 1)
+  has_sb = scale is not None
+  cout = weight.shape[-1]
+  sc = scale if has_sb else jnp.zeros((cout,), jnp.float32)
+  bb = bias if bias is not None else jnp.zeros((cout,), jnp.float32)
+
+  def body(xx, ww, sc_, bb_):
+    xh = _spatial_halo_concat(xx, axis=2, n_shards=sp)
+    return conv3d_band_s2_pallas(xh, ww,
+                                 sc_ if has_sb else None,
+                                 bb_ if bias is not None else None,
+                                 relu=relu, m_halo=True)
+
+  shard = P("data", None, "spatial", None, None)
+  return jax.shard_map(
+      body, mesh=mesh,
+      in_specs=(shard, P(), P(), P()),
+      out_specs=shard, check_vma=False)(x, weight, sc, bb)
+
+
+def conv3d_band_deconv_sharded(x: jnp.ndarray, kernel_t: jnp.ndarray,
+                               scale: jnp.ndarray | None,
+                               bias: jnp.ndarray | None,
+                               relu: bool, lane_axis: int, mesh):
+  """:func:`~mode_tpu.ops.pallas.conv3d_kernel.conv3d_band_deconv_pallas`
+  over a ('data', 'spatial') mesh: B over 'data', the band axis M over
+  'spatial'. A k3/s2/p1/op1 transpose conv only reads its own rows plus ONE
+  row to the right, so the same ±1 halo exchange covers it (the left halo
+  row is ignored by the kernel); the doubled output rows stay sharded."""
+  from mode_tpu.ops.pallas.conv3d_kernel import conv3d_band_deconv_pallas
+
+  sp = mesh.shape.get("spatial", 1)
+  has_sb = scale is not None
+  cout = kernel_t.shape[3]
+  sc = scale if has_sb else jnp.zeros((cout,), jnp.float32)
+  bb = bias if bias is not None else jnp.zeros((cout,), jnp.float32)
+
+  def body(xx, ww, sc_, bb_):
+    xh = _spatial_halo_concat(xx, axis=2, n_shards=sp)
+    return conv3d_band_deconv_pallas(xh, ww,
+                                     sc_ if has_sb else None,
+                                     bb_ if bias is not None else None,
+                                     relu=relu, lane_axis=lane_axis,
+                                     m_halo=True)
+
+  shard = P("data", None, "spatial", None, None)
+  return jax.shard_map(
+      body, mesh=mesh,
+      in_specs=(shard, P(), P(), P()),
+      out_specs=shard, check_vma=False)(x, kernel_t, sc, bb)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def sphere_conv_fast_sharded(x, weight, static, mesh):
   """Pallas sphere conv under a mesh: B sharded over 'data', weight

@@ -94,8 +94,33 @@ def main():
     dres_vars = cast16(jax.jit(lambda: dres.init(key, cost))())
     timeit("dres0+dres1", dres.apply, dres_vars, cost)
 
+  # --- dres, lane-major (the path the eval model actually takes) ---
+  if want("dres_lane"):
+    from mode_tpu.models.blocks import convbn_3d_lane
+
+    class DresLane(nn.Module):
+      @nn.compact
+      def __call__(self, costl):
+        c0 = convbn_3d_lane(costl, 32, 3, 1, 1, "dres0.0", in_lane="W",
+                            relu=True)
+        c0 = convbn_3d_lane(c0, 32, 3, 1, 1, "dres0.2", in_lane="W",
+                            relu=True)
+        d1 = convbn_3d_lane(c0, 32, 3, 1, 1, "dres1.0", in_lane="W",
+                            relu=True)
+        return convbn_3d_lane(d1, 32, 3, 1, 1, "dres1.2", in_lane="W",
+                              residual=c0)
+
+    costl = jax.device_put(
+        jax.random.normal(key, (B, MAXD // 4, H // 4, 64, W // 4), DTYPE)
+        * .3)
+    dl = DresLane()
+    dl_vars = cast16(jax.jit(lambda: dl.init(key, costl))())
+    timeit("dres_lane", dl.apply, dl_vars, costl)
+
   cost0 = jax.device_put(
       jax.random.normal(key, (B, MAXD // 4, H // 4, W // 4, 32), DTYPE) * .3)
+  cost0l = jax.device_put(
+      jax.random.normal(key, (B, MAXD // 4, H // 4, 32, W // 4), DTYPE) * .3)
 
   # --- one hourglass ---
   if want("hourglass"):
@@ -104,6 +129,28 @@ def main():
         jax.jit(lambda: hg.init(key, cost0, None, None, False))())
     timeit("hourglass_x1", lambda v, c: hg.apply(v, c, None, None, False),
            hg_vars, cost0)
+
+  if want("hourglass_lane"):
+    hg = Hourglass(32)
+    hgl_vars = cast16(jax.jit(
+        lambda: hg.init(key, cost0l, None, None, False, lane="W"))())
+    timeit("hourglass_lane_x1",
+           lambda v, c: hg.apply(v, c, None, None, False, lane="W"),
+           hgl_vars, cost0l)
+
+  if want("classif_lane"):
+    from mode_tpu.models.blocks import Conv3dDFold, convbn_3d_lane
+
+    class ClassifLane(nn.Module):
+      @nn.compact
+      def __call__(self, x):
+        y = convbn_3d_lane(x, 32, 3, 1, 1, "c.0", in_lane="W", relu=True)
+        return Conv3dDFold(1, (3, 3, 3), (1, 1, 1), (1, 1, 1),
+                           name="c.2")(y, lane_fused=dict(lane_axis=3))
+
+    cl = ClassifLane()
+    cll_vars = cast16(jax.jit(lambda: cl.init(key, cost0l))())
+    timeit("classif_lane_x1", cl.apply, cll_vars, cost0l)
 
   # --- classif head (1 of 3) ---
   if want("classif"):

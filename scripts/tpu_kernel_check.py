@@ -210,6 +210,64 @@ def main():
     tol = 1e-4 if dtype == jnp.float32 else 4e-2
     check(f"conv3d_{tag}", got, ref, tol, tol)
 
+  # --- stride-2 band conv (hourglass encoder) -------------------------------
+  from mode_tpu.ops.pallas.conv3d_kernel import (
+      conv3d_band_deconv_pallas, conv3d_band_s2_pallas)
+
+  def s2_xla_ref(x, wgt, scale, bias):
+    dn = lax.conv_dimension_numbers(x.shape, wgt.shape,
+                                    ("NDHWC", "DHWIO", "NDHWC"))
+    y = lax.conv_general_dilated(
+        x, wgt, (2, 2, 2), [(1, 1)] * 3, dimension_numbers=dn,
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT)).astype(jnp.float32)
+    return jnp.maximum(y * scale + bias, 0.0).astype(x.dtype)
+
+  for b, d, hh, ww, cin, cout, dtype, tag in [
+      (1, 48, 256, 128, 32, 64, jnp.bfloat16, "bf16_conv1_full"),
+      (1, 8, 32, 128, 32, 32, jnp.float32, "f32_small"),
+  ]:
+    x = jnp.asarray(rng.normal(size=(b, d, hh, ww, cin)) * 0.3, dtype)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.08, dtype)
+    scale = jnp.asarray(rng.normal(size=(cout,)) * 0.2 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    got = jax.jit(lambda xl, wl: conv3d_band_s2_pallas(
+        xl, wl, scale, bias, relu=True))(
+            to_lane_major(x, 3), weight_lane_major(wgt, 3))
+    got = from_lane_major(got, 3)
+    ref = jax.jit(lambda a, b_: s2_xla_ref(a, b_, scale, bias))(x, wgt)
+    tol = 1e-4 if dtype == jnp.float32 else 4e-2
+    check(f"conv3d_s2_{tag}", got, ref, tol, tol)
+
+  # --- deconv band kernel (hourglass decoder) -------------------------------
+  def deconv_xla_ref(x, kt, scale, bias):
+    w_io = jnp.swapaxes(jnp.flip(kt, axis=(0, 1, 2)), -1, -2)
+    dn = lax.conv_dimension_numbers(x.shape, w_io.shape,
+                                    ("NDHWC", "DHWIO", "NDHWC"))
+    y = lax.conv_general_dilated(
+        x, w_io, (1, 1, 1), [(1, 2)] * 3, lhs_dilation=(2, 2, 2),
+        dimension_numbers=dn,
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT)).astype(jnp.float32)
+    return (y * scale + bias).astype(x.dtype)
+
+  for b, d, hh, ww, cin, cout, dtype, tag in [
+      (1, 24, 128, 64, 64, 32, jnp.bfloat16, "bf16_conv6_shape"),
+      (1, 4, 128, 16, 16, 16, jnp.float32, "f32_small"),
+  ]:
+    x = jnp.asarray(rng.normal(size=(b, d, hh, ww, cin)) * 0.3, dtype)
+    kt = jnp.asarray(rng.normal(size=(3, 3, 3, cout, cin)) * 0.08, dtype)
+    scale = jnp.asarray(rng.normal(size=(cout,)) * 0.2 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    # lane axis = H (index 2), as the hourglass decoder uses it
+    xl = jnp.transpose(x, (0, 1, 3, 4, 2))
+    got = jax.jit(lambda a, k: conv3d_band_deconv_pallas(
+        a, k, scale, bias, lane_axis=2))(xl, kt)
+    got = jnp.transpose(got, (0, 1, 4, 2, 3))
+    ref = jax.jit(lambda a, k: deconv_xla_ref(a, k, scale, bias))(x, kt)
+    tol = 1e-4 if dtype == jnp.float32 else 4e-2
+    check(f"conv3d_deconv_{tag}", got, ref, tol, tol)
+
   # --- 2-D lane-major conv (fusion/stem fast path) -------------------------
   from mode_tpu.ops.pallas.conv2d_kernel import conv2d_fused
 
@@ -244,6 +302,35 @@ def main():
         a, w_, scale, bias, r, True))(x, wgt, residual)
     tol = 1e-4 if dtype == jnp.float32 else 4e-2
     check(f"conv2d_{tag}", got, ref, tol, tol)
+
+  # --- fusion net lane-major eval path vs NHWC XLA path --------------------
+  # Covers the composition the per-kernel checks can't: whole-net lane
+  # residency, fused epilogues, lane-major pools/transpose-convs, and the
+  # small-lane XLA fallback at the deepest level (models/fusion.py).
+  from mode_tpu.models.fusion import ModeFusion
+  from mode_tpu.ops.pallas import conv3d_kernel as c3k
+  fh, fw = 256, 512
+  fkey = jax.random.PRNGKey(7)
+  fmodel = ModeFusion(max_depth=1000.0)
+  fdep = [jnp.asarray(rng.uniform(1, 900, (1, fh, fw, 1)), jnp.float32)
+          for _ in range(6)]
+  fcon = [jnp.asarray(rng.uniform(0, 1, (1, fh, fw, 1)), jnp.float32)
+          for _ in range(6)]
+  frgb = [jnp.asarray(rng.normal(size=(1, fh, fw, 3)), jnp.float32)
+          for _ in range(4)]
+  fvars = jax.jit(lambda: fmodel.init(fkey, fdep, fcon, frgb,
+                                      train=False))()
+  try:
+    c3k.set_conv3d_pallas("off")
+    f_ref = np.asarray(jax.jit(lambda v: fmodel.apply(
+        v, fdep, fcon, frgb, train=False))(fvars))
+    c3k.set_conv3d_pallas("auto")
+    f_lane = np.asarray(jax.jit(lambda v: fmodel.apply(
+        v, fdep, fcon, frgb, train=False))(fvars))
+  finally:
+    c3k.set_conv3d_pallas("auto")
+  check("fusion_lane_f32_256x512", jnp.asarray(f_lane), jnp.asarray(f_ref),
+        5e-3, 5e-3)
 
   # --- z-buffer sort resolver vs scatter resolver (bit-exact) --------------
   from mode_tpu.geometry import reprojection as rp

@@ -96,6 +96,88 @@ def test_lane_mid_section_matches_ndhwc(interpret_pallas):
                              rtol=2e-4, atol=2e-4)
 
 
+def _xla_ref_s2(x, w, scale, bias, relu):
+  dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                  ("NDHWC", "DHWIO", "NDHWC"))
+  y = lax.conv_general_dilated(x, w, (2, 2, 2), [(1, 1)] * 3,
+                               dimension_numbers=dn,
+                               precision=lax.Precision.HIGHEST)
+  y = y * scale + bias
+  if relu:
+    y = jnp.maximum(y, 0.0)
+  return y
+
+
+@pytest.mark.parametrize("shape,cout,relu", [
+    ((1, 4, 8, 16, 128), 16, True),           # lanes = W (conv1 shape class)
+    ((2, 4, 16, 8, 256), 8, False),           # batch, 256 lanes
+    ((1, 8, 4, 8, 128), 8, True),             # deep D
+])
+def test_conv3d_band_s2_parity(interpret_pallas, shape, cout, relu):
+  """Stride-2 band kernel == XLA stride-2 conv (lane-major in/out)."""
+  b, d, m, c, lanes = shape
+  key = jax.random.PRNGKey(3)
+  k1, k2, k3, k4 = jax.random.split(key, 4)
+  xl = jax.random.normal(k1, shape, jnp.float32) * 0.3
+  wgt = jax.random.normal(k2, (3, 3, 3, c, cout), jnp.float32) * 0.1
+  scale = jax.random.normal(k3, (cout,), jnp.float32) * 0.2 + 1.0
+  bias = jax.random.normal(k4, (cout,), jnp.float32) * 0.1
+
+  y = ck.conv3d_band_s2_pallas(xl, wgt, scale, bias, relu=relu)
+  assert y.shape == (b, d // 2, m // 2, cout, lanes // 2)
+
+  # reference in NDHWC: lane axis plays W
+  x_ndhwc = jnp.transpose(xl, (0, 1, 2, 4, 3))
+  ref = _xla_ref_s2(x_ndhwc, wgt, scale[None, None, None, None],
+                    bias[None, None, None, None], relu)
+  ref = jnp.transpose(ref, (0, 1, 2, 4, 3))
+  np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                             rtol=1e-5, atol=1e-5)
+
+
+def _xla_ref_deconv(x, kernel_t, scale, bias, relu):
+  w_flipped = jnp.flip(kernel_t, axis=(0, 1, 2))
+  w_io = jnp.swapaxes(w_flipped, -1, -2)
+  dn = lax.conv_dimension_numbers(x.shape, w_io.shape,
+                                  ("NDHWC", "DHWIO", "NDHWC"))
+  y = lax.conv_general_dilated(
+      x, w_io, (1, 1, 1), [(1, 2)] * 3, lhs_dilation=(2, 2, 2),
+      dimension_numbers=dn, precision=lax.Precision.HIGHEST)
+  y = y * scale + bias
+  if relu:
+    y = jnp.maximum(y, 0.0)
+  return y
+
+
+@pytest.mark.parametrize("shape,cout,relu,la", [
+    ((1, 4, 8, 16, 128), 16, True, 3),        # lanes = W (conv6 class)
+    ((2, 2, 4, 8, 256), 8, False, 3),         # batch, 256 lanes
+    ((1, 4, 8, 8, 128), 8, True, 2),          # lanes = H
+])
+def test_conv3d_band_deconv_parity(interpret_pallas, shape, cout, relu, la):
+  """Deconv band kernel == XLA ConvTranspose3d(k3 s2 p1 op1)."""
+  b, d, m, c, lanes = shape
+  key = jax.random.PRNGKey(5)
+  k1, k2, k3, k4 = jax.random.split(key, 4)
+  xl = jax.random.normal(k1, shape, jnp.float32) * 0.3
+  kernel_t = jax.random.normal(k2, (3, 3, 3, cout, c), jnp.float32) * 0.1
+  scale = jax.random.normal(k3, (cout,), jnp.float32) * 0.2 + 1.0
+  bias = jax.random.normal(k4, (cout,), jnp.float32) * 0.1
+
+  y = ck.conv3d_band_deconv_pallas(xl, kernel_t, scale, bias, relu=relu,
+                                   lane_axis=la)
+  assert y.shape == (b, 2 * d, 2 * m, cout, 2 * lanes)
+
+  # reference in NDHWC: band axis plays H, lane axis plays W (or swapped)
+  x_ndhwc = jnp.transpose(xl, (0, 1, 2, 4, 3))
+  kt = kernel_t if la == 3 else jnp.transpose(kernel_t, (0, 2, 1, 3, 4))
+  ref = _xla_ref_deconv(x_ndhwc, kt, scale[None, None, None, None],
+                        bias[None, None, None, None], relu)
+  ref = jnp.transpose(ref, (0, 1, 2, 4, 3))
+  np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                             rtol=1e-5, atol=1e-5)
+
+
 def test_lane_gate_rejects_ineligible():
   assert not ck.band_pallas_ok((1, 4, 16, 30, 128), 32)   # C % 8
   assert not ck.band_pallas_ok((1, 4, 16, 32, 96), 32)    # lanes % 128
