@@ -164,8 +164,9 @@ class Conv3dDFold(nn.Module):
 
   @nn.compact
   def __call__(self, x: jnp.ndarray, lane_fused=None,
-               lane_xla=None, lane_s2=None) -> jnp.ndarray:
-    cin = x.shape[-2] if (lane_fused or lane_xla or lane_s2) else x.shape[-1]
+               lane_xla=None, lane_s2=None, lane_fold=None) -> jnp.ndarray:
+    cin = (x.shape[-2] if (lane_fused or lane_xla or lane_s2 or lane_fold)
+           else x.shape[-1])
     w = self.param("kernel", self.kernel_init or msra_normal_init(),
                    (*self.kernel, cin, self.features))
     dt = jnp.promote_types(x.dtype, w.dtype)
@@ -189,6 +190,19 @@ class Conv3dDFold(nn.Module):
       return conv3d_band_s2_pallas(x, wl, lane_s2.get("scale"),
                                    lane_s2.get("bias"),
                                    relu=lane_s2.get("relu", False))
+
+    if lane_fold is not None:
+      # both spatial axes sub-128: fold M·L onto the lanes (the 1/16
+      # hourglass level). fold_pallas_ok gates mesh/shape eligibility.
+      from mode_tpu.ops.pallas.conv3d_kernel import (
+          conv3d_fold_pallas, weight_lane_major)
+      assert tuple(self.kernel) == (3, 3, 3)
+      assert tuple(self.stride) == (1, 1, 1) and tuple(self.pad) == (1, 1, 1)
+      assert not self.use_bias
+      wl = weight_lane_major(w, lane_fold["lane_axis"])
+      return conv3d_fold_pallas(x, wl, lane_fold.get("scale"),
+                                lane_fold.get("bias"),
+                                relu=lane_fold.get("relu", False))
 
     if lane_fused is not None:
       from mode_tpu.ops.pallas.conv3d_kernel import (
@@ -388,11 +402,23 @@ class ConvTranspose(nn.Module):
 
   @nn.compact
   def __call__(self, x: jnp.ndarray, lane_xla=None,
-               lane_dec=None) -> jnp.ndarray:
+               lane_dec=None, lane_fold_dec=None) -> jnp.ndarray:
     nd = len(self.kernel)
-    cin = x.shape[-2] if (lane_xla or lane_dec) else x.shape[-1]
+    cin = (x.shape[-2] if (lane_xla or lane_dec or lane_fold_dec)
+           else x.shape[-1])
     w = self.param("kernel_t", _transpose_init(),
                    (*self.kernel, self.features, cin))
+    if lane_fold_dec is not None:
+      # both spatial axes sub-128 (the 1/16 -> 1/8 decoder step): fold M·L
+      # onto the lanes; fold_deconv_ok gates mesh/shape eligibility
+      from mode_tpu.ops.pallas.conv3d_kernel import conv3d_fold_deconv_pallas
+      assert nd == 3 and tuple(self.kernel) == (3, 3, 3)
+      assert self.stride == 2 and self.padding == 1
+      assert self.output_padding == 1 and not self.use_bias
+      return conv3d_fold_deconv_pallas(
+          x, w.astype(x.dtype), lane_fold_dec.get("scale"),
+          lane_fold_dec.get("bias"), relu=lane_fold_dec.get("relu", False),
+          lane_axis=lane_fold_dec["lane_axis"])
     if lane_dec is not None:
       # fused Pallas deconv (k=3, s=2, p=1, op=1) on a lane-major volume;
       # the kernel flips/reorders the raw torch-layout param itself
@@ -496,7 +522,8 @@ def convbn_3d_lane(x, features, kernel, stride, pad, prefix, *, in_lane,
   configs run an XLA conv in the lane-major layout (``out_lane`` may differ
   so downstream convs keep full lanes) with the epilogue applied by XLA.
   """
-  from mode_tpu.ops.pallas.conv3d_kernel import band_pallas_ok, band_s2_ok
+  from mode_tpu.ops.pallas.conv3d_kernel import (band_pallas_ok, band_s2_ok,
+                                                 fold_pallas_ok)
   out_lane = out_lane or in_lane
   scale, bias = TorchBatchNorm(name=f"{prefix}.1")(
       None, False, affine_only=True, features=features)
@@ -508,6 +535,11 @@ def convbn_3d_lane(x, features, kernel, stride, pad, prefix, *, in_lane,
     return conv(x, lane_fused=dict(lane_axis=3 if in_lane == "W" else 2,
                                    scale=scale, bias=bias,
                                    residual=residual, relu=relu))
+  if (kernel == 3 and stride == 1 and pad == 1 and out_lane == in_lane
+      and residual is None
+      and fold_pallas_ok(x.shape, features, jnp.dtype(x.dtype).itemsize)):
+    return conv(x, lane_fold=dict(lane_axis=3 if in_lane == "W" else 2,
+                                  scale=scale, bias=bias, relu=relu))
   if (kernel == 3 and stride == 2 and pad == 1 and residual is None
       and band_s2_ok(x.shape, features, jnp.dtype(x.dtype).itemsize)):
     y = conv(x, lane_s2=dict(lane_axis=3 if in_lane == "W" else 2,

@@ -150,14 +150,22 @@ class Hourglass(nn.Module):
       out = convbn_3d_lane(out, p2, 3, 1, 1, "conv4.0", in_lane="H",
                            relu=True)                                # 1/16
 
-      up = ConvTranspose(p2, (3, 3, 3), stride=2, padding=1,
-                         output_padding=1,
-                         name="conv5.0")(out, lane_xla=("H", "H"))
+      from mode_tpu.ops.pallas.conv3d_kernel import fold_deconv_ok
       s5, b5 = TorchBatchNorm(name="conv5.1")(None, False,
                                               affine_only=True, features=p2)
+      ct5 = ConvTranspose(p2, (3, 3, 3), stride=2, padding=1,
+                          output_padding=1, name="conv5.0")
       res = presqu if presqu is not None else pre
-      post = jnp.maximum(up.astype(jnp.float32) * s5[:, None] + b5[:, None]
-                         + res.astype(jnp.float32), 0.0).astype(x.dtype)
+      if fold_deconv_ok(out.shape, p2, jnp.dtype(out.dtype).itemsize):
+        # folded-lane deconv (1/16 level: no single axis fills the lanes);
+        # the BN affine runs in the kernel epilogue
+        up = ct5(out, lane_fold_dec=dict(lane_axis=2, scale=s5, bias=b5))
+        post = jnp.maximum(up.astype(jnp.float32) + res.astype(jnp.float32),
+                           0.0).astype(x.dtype)
+      else:
+        up = ct5(out, lane_xla=("H", "H"))
+        post = jnp.maximum(up.astype(jnp.float32) * s5[:, None] + b5[:, None]
+                           + res.astype(jnp.float32), 0.0).astype(x.dtype)
 
       from mode_tpu.ops.pallas.conv3d_kernel import band_deconv_ok
       s6, b6 = TorchBatchNorm(name="conv6.1")(None, False, affine_only=True,

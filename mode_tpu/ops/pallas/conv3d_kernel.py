@@ -653,6 +653,366 @@ def band_deconv_ok(x_shape, cout, itemsize: int = 2) -> bool:
     return False
 
 
+def _kernel_fold(x_ref, w_ref, sb_ref, o_ref, bands_ref, z_ref, sem, *,
+                 db, cin, cout, mdim, ldim, relu):
+  """Folded-lane stride-1 3x3x3 conv: BOTH small spatial axes ride the
+  lanes as F = M·L (M major), so the only non-lane axis left is D — bands
+  are (db+2, C, F) D-halo slabs. One (9Cout, 3C) @ (3C, F) dot per output
+  plane folds all k_M/k_L taps into the output rows and kd into the
+  contraction; the recombination is 9 masked multi-tile lane rolls (the
+  masks re-impose the M/L SAME-pad borders that folding erased)."""
+  b = pl.program_id(0)
+  d = pl.program_id(1)
+  nd = pl.num_programs(1)
+  lin = b * nd + d
+  total = pl.num_programs(0) * nd
+  slot = lax.rem(lin, 2)
+  fdim = mdim * ldim
+
+  def band_dma(slot_idx, b_, d_):
+    return pltpu.make_async_copy(
+        x_ref.at[b_, pl.ds(d_ * db * cin, (db + 2) * cin)],
+        bands_ref.at[slot_idx], sem.at[slot_idx])
+
+  @pl.when(lin == 0)
+  def _first():
+    band_dma(slot, b, d).start()
+
+  @pl.when(lin + 1 < total)
+  def _prefetch():
+    nxt = lin + 1
+    band_dma(1 - slot, nxt // nd, lax.rem(nxt, nd)).start()
+
+  band_dma(slot, b, d).wait()
+
+  prec = _mxu_precision(w_ref.dtype)
+  wmat = w_ref[:]
+  for dd in range(db):
+    z_ref[dd] = jnp.dot(wmat, bands_ref[slot, dd * cin:(dd + 3) * cin],
+                        preferred_element_type=jnp.float32, precision=prec)
+
+  fi = jax.lax.broadcasted_iota(jnp.int32, (db, cout, fdim), 2)
+  mi = fi // ldim
+  li = lax.rem(fi, ldim)
+  z = z_ref[:]                                  # (db, 9Cout, F) f32
+  acc = None
+  for km in range(3):
+    for kl in range(3):
+      g = z[:, (3 * km + kl) * cout:(3 * km + kl + 1) * cout]
+      k = ((1 - km) * ldim + (1 - kl)) % fdim   # t[f] = g[f + shift]
+      t = pltpu.roll(g, k, axis=2) if k else g
+      valid = None
+      if km == 0:
+        valid = mi >= 1
+      elif km == 2:
+        valid = mi <= mdim - 2
+      if kl == 0:
+        v2 = li >= 1
+        valid = v2 if valid is None else valid & v2
+      elif kl == 2:
+        v2 = li <= ldim - 2
+        valid = v2 if valid is None else valid & v2
+      t = t if valid is None else jnp.where(valid, t, 0.0)
+      acc = t if acc is None else acc + t
+  acc = acc * sb_ref[0][None] + sb_ref[1][None]
+  if relu:
+    acc = jnp.maximum(acc, 0.0)
+  o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _pick_blocks_fold(d, cin, cout, fdim, itemsize):
+  def vmem(db):
+    return (2 * (db + 2) * cin * fdim * itemsize +   # bands x2
+            2 * db * cout * fdim * itemsize +        # out x2
+            9 * cout * 3 * cin * itemsize +          # weights
+            db * 9 * cout * fdim * 4)                # z (f32)
+
+  for db in (4, 2, 1):
+    if d % db == 0 and vmem(db) <= 10 * 2**20:
+      return db
+  return None
+
+
+def conv3d_fold_pallas(x: jnp.ndarray, weight: jnp.ndarray,
+                       scale: jnp.ndarray | None = None,
+                       bias: jnp.ndarray | None = None,
+                       relu: bool = False) -> jnp.ndarray:
+  """Fused stride-1 3x3x3 conv for levels where NO single axis fills the
+  128 TPU lanes (the 1/16 hourglass level: M=32, L=64) — M and L fold
+  together onto the lanes. XLA runs these convs at ~3 bf16-TFLOP/s (every
+  axis starves the MXU; `docs/PROFILES.md` round-3 probes).
+
+  Args:
+    x: (B, D, M, C, L) lane-major volume, M·L a multiple of 128.
+    weight: (3, 3, 3, C, Cout) in (kd, k_M, k_L, in, out) order.
+    scale, bias: optional (Cout,) f32 epilogue affine (folded BatchNorm).
+    relu: apply ReLU in the epilogue.
+  Returns:
+    (B, D, M, Cout, L) in x.dtype.
+  """
+  b, d, m, cin, ldim = x.shape
+  kd, kh, kw, wcin, cout = weight.shape
+  assert (kd, kh, kw) == (3, 3, 3) and wcin == cin
+  fdim = m * ldim
+  assert fdim % 128 == 0 and cin % 8 == 0 and cout % 8 == 0
+  itemsize = jnp.dtype(x.dtype).itemsize
+  db = _pick_blocks_fold(d, cin, cout, fdim, itemsize)
+  assert db is not None, (x.shape,)
+
+  # rows (k_M, k_L, co), cols (kd, ci)
+  w2 = jnp.transpose(weight, (1, 2, 4, 0, 3)).reshape(9 * cout, 3 * cin)
+  w2 = w2.astype(x.dtype)
+  sb = jnp.stack([
+      jnp.ones((cout,), jnp.float32) if scale is None
+      else scale.astype(jnp.float32),
+      jnp.zeros((cout,), jnp.float32) if bias is None
+      else bias.astype(jnp.float32),
+  ])[:, :, None]
+
+  xf = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b, d, cin, fdim)
+  xp = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)))
+  xp = xp.reshape(b, (d + 2) * cin, fdim)
+
+  kernel = functools.partial(_kernel_fold, db=db, cin=cin, cout=cout,
+                             mdim=m, ldim=ldim, relu=relu)
+  flops = 2 * b * d * fdim * 27 * cin * cout
+  y = pl.pallas_call(
+      kernel,
+      grid=(b, d // db),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec((9 * cout, 3 * cin), lambda i, j: (0, 0)),
+          pl.BlockSpec((2, cout, 1), lambda i, j: (0, 0, 0)),
+      ],
+      out_specs=pl.BlockSpec((1, db, cout, fdim), lambda i, j: (i, j, 0, 0)),
+      out_shape=jax.ShapeDtypeStruct((b, d, cout, fdim), x.dtype),
+      scratch_shapes=[
+          pltpu.VMEM((2, (db + 2) * cin, fdim), x.dtype),
+          pltpu.VMEM((db, 9 * cout, fdim), jnp.float32),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      cost_estimate=pl.CostEstimate(
+          flops=flops, bytes_accessed=x.size * itemsize * 2,
+          transcendentals=0),
+  )(xp, w2, sb)
+  return jnp.transpose(y.reshape(b, d, cout, m, ldim), (0, 1, 3, 2, 4))
+
+
+def fold_pallas_ok(x_shape, cout, itemsize: int = 2) -> bool:
+  """Static gate for :func:`conv3d_fold_pallas` (lane-major shapes whose
+  lane axis is sub-128 but whose M·L fold fills whole lane tiles). Under an
+  active mesh this path has no shard_map wrapper yet, so it defers to the
+  XLA lane path (which the SPMD partitioner can split)."""
+  if _CONV3D_MODE == "off":
+    return False
+  b, d, m, c, lanes = x_shape
+  if lanes % 128 == 0:          # full lane tiles: the band kernel is better
+    return False
+  if (m * lanes) % 128 or c % 8 or cout % 8:
+    return False
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
+    return False
+  if _pick_blocks_fold(d, c, max(cout, 8), m * lanes, itemsize) is None:
+    return False
+  if _CONV3D_MODE == "on":
+    return True
+  if not _FOLD_ON_CHIP_VERIFIED:
+    # interpret-mode parity is green, but the Mosaic lowering of the folded
+    # kernels has not run on a real chip yet — keep auto dispatch off until
+    # scripts/tpu_kernel_check.py passes the conv3d_fold_* checks
+    return False
+  try:
+    return jax.devices()[0].platform in ("tpu", "axon")
+  except RuntimeError:
+    return False
+
+
+# (km, kl) tap -> ((pm, pl) output phase, (dm, dl) input offset) for the
+# k=3 s=2 p=1 op=1 transpose conv in folded-lane space: even outputs read
+# the flipped-centre tap at the same input index; odd outputs read taps
+# 0 (same index) and 2 (index + 1) — the folded analogue of
+# ``_kernel_dec``'s dot_a/dot_b structure.
+_DEC_PHASE = {0: (1, 0), 1: (0, 0), 2: (1, 1)}
+
+
+def _kernel_fold_dec(x_ref, wa_ref, wb_ref, sb_ref, o_ref, bands_ref, z_ref,
+                     sem, *, cin, cout, mdim, ldim, relu):
+  """Folded-lane transpose conv (k=3, s=2, p=1, op=1): grid is
+  (B, D_in, phase_d); each block emits the 4 (pm, pl) output phases of one
+  output plane as separate folded F-planes (interleaved to the 1/8-level
+  lane-major layout by XLA outside the kernel — cheap, vs 8x the MACs XLA
+  spends on the zero-stuffed ``lhs_dilation`` form at this shape)."""
+  b = pl.program_id(0)
+  d = pl.program_id(1)
+  pd = pl.program_id(2)
+  nd = pl.num_programs(1)
+  lin = (b * nd + d) * 2 + pd
+  total = pl.num_programs(0) * nd * 2
+  slot = lax.rem(lin, 2)
+  fdim = mdim * ldim
+
+  def band_dma(slot_idx, b_, d_):
+    return pltpu.make_async_copy(
+        x_ref.at[b_, pl.ds(d_ * cin, 2 * cin)],
+        bands_ref.at[slot_idx], sem.at[slot_idx])
+
+  @pl.when(lin == 0)
+  def _first():
+    band_dma(slot, b, d).start()
+
+  @pl.when(lin + 1 < total)
+  def _prefetch():
+    nxt = lin + 1
+    band_dma(1 - slot, nxt // (2 * nd), lax.rem(nxt // 2, nd)).start()
+
+  band_dma(slot, b, d).wait()
+
+  prec = _mxu_precision(wa_ref.dtype)
+  # even output plane (2d): flipped-centre kd tap @ plane d;
+  # odd (2d+1): kd=0 @ plane d + kd=2 @ plane d+1 (one (9Cout, 2C) dot)
+  @pl.when(pd == 0)
+  def _even():
+    z_ref[:] = jnp.dot(wa_ref[:], bands_ref[slot, :cin],
+                       preferred_element_type=jnp.float32, precision=prec)
+
+  @pl.when(pd == 1)
+  def _odd():
+    z_ref[:] = jnp.dot(wb_ref[:], bands_ref[slot],
+                       preferred_element_type=jnp.float32, precision=prec)
+
+  fi = jax.lax.broadcasted_iota(jnp.int32, (cout, fdim), 1)
+  mi = fi // ldim
+  li = lax.rem(fi, ldim)
+  z = z_ref[:]
+  accs = [[None, None], [None, None]]
+  for km in range(3):
+    for kl in range(3):
+      pm, dm = _DEC_PHASE[km]
+      pl_, dl = _DEC_PHASE[kl]
+      g = z[(3 * km + kl) * cout:(3 * km + kl + 1) * cout]
+      k = (-(dm * ldim + dl)) % fdim            # t[f] = g[f + dm*L + dl]
+      t = pltpu.roll(g, k, axis=1) if k else g
+      valid = None
+      if dm:
+        valid = mi <= mdim - 2
+      if dl:
+        v2 = li <= ldim - 2
+        valid = v2 if valid is None else valid & v2
+      t = t if valid is None else jnp.where(valid, t, 0.0)
+      accs[pm][pl_] = t if accs[pm][pl_] is None else accs[pm][pl_] + t
+  for pm in range(2):
+    for pl_ in range(2):
+      acc = accs[pm][pl_] * sb_ref[0] + sb_ref[1]
+      if relu:
+        acc = jnp.maximum(acc, 0.0)
+      o_ref[0, 0, 0, pm, pl_] = acc.astype(o_ref.dtype)
+
+
+def conv3d_fold_deconv_pallas(x: jnp.ndarray, kernel_t: jnp.ndarray,
+                              scale: jnp.ndarray | None = None,
+                              bias: jnp.ndarray | None = None,
+                              relu: bool = False,
+                              lane_axis: int = 3) -> jnp.ndarray:
+  """Fused ConvTranspose3d(k=3, s=2, p=1, op=1) for levels where no single
+  axis fills the lanes (the 1/16 -> 1/8 hourglass decoder step): M and L
+  fold onto the lanes; the 8 sub-pixel phases come out as separate folded
+  planes and XLA interleaves them into the (B, 2D, 2M, Cout, 2L)
+  lane-major volume the 1/8 level uses.
+
+  Args:
+    x: (B, D, M, C, L) lane-major volume, M·L a multiple of 128.
+    kernel_t: torch-layout transpose-conv param (3, 3, 3, O, I).
+    lane_axis: 3 if the NDHWC W axis rides the lanes, 2 for H.
+  Returns:
+    (B, 2D, 2M, Cout, 2L) in x.dtype.
+  """
+  b, d, m, cin, ldim = x.shape
+  fdim = m * ldim
+  assert fdim % 128 == 0 and cin % 8 == 0
+  kd_, kh_, kw_, cout, wcin = kernel_t.shape
+  assert (kd_, kh_, kw_) == (3, 3, 3) and wcin == cin
+  assert cout % 8 == 0
+  itemsize = jnp.dtype(x.dtype).itemsize
+
+  wf = jnp.swapaxes(jnp.flip(kernel_t, axis=(0, 1, 2)), -1, -2)
+  if lane_axis == 2:
+    wf = jnp.transpose(wf, (0, 2, 1, 3, 4))     # (kd, k_M, k_L, I, O)
+  # rows (k_M, k_L, co), cols ci — one matrix per kd
+  aa = jnp.transpose(wf, (0, 1, 2, 4, 3)).reshape(3, 9 * cout, cin)
+  wa = aa[1].astype(x.dtype)
+  wb = jnp.concatenate([aa[0], aa[2]], axis=1).astype(x.dtype)
+
+  sb = jnp.stack([
+      jnp.ones((cout,), jnp.float32) if scale is None
+      else scale.astype(jnp.float32),
+      jnp.zeros((cout,), jnp.float32) if bias is None
+      else bias.astype(jnp.float32),
+  ])[:, :, None]
+
+  xf = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b, d, cin, fdim)
+  xp = jnp.pad(xf, ((0, 0), (0, 1), (0, 0), (0, 0)))    # +1 right D halo
+  xp = xp.reshape(b, (d + 1) * cin, fdim)
+
+  kernel = functools.partial(_kernel_fold_dec, cin=cin, cout=cout,
+                             mdim=m, ldim=ldim, relu=relu)
+  flops = 2 * b * d * fdim * 27 * cin * cout
+  y = pl.pallas_call(
+      kernel,
+      grid=(b, d, 2),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec((9 * cout, cin), lambda i, j, k: (0, 0)),
+          pl.BlockSpec((9 * cout, 2 * cin), lambda i, j, k: (0, 0)),
+          pl.BlockSpec((2, cout, 1), lambda i, j, k: (0, 0, 0)),
+      ],
+      out_specs=pl.BlockSpec((1, 1, 1, 2, 2, cout, fdim),
+                             lambda i, j, k: (i, j, k, 0, 0, 0, 0)),
+      out_shape=jax.ShapeDtypeStruct((b, d, 2, 2, 2, cout, fdim), x.dtype),
+      scratch_shapes=[
+          pltpu.VMEM((2, 2 * cin, fdim), x.dtype),
+          pltpu.VMEM((9 * cout, fdim), jnp.float32),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      cost_estimate=pl.CostEstimate(
+          flops=flops, bytes_accessed=x.size * itemsize * 4,
+          transcendentals=0),
+  )(xp, wa, wb, sb)
+  y = y.reshape(b, d, 2, 2, 2, cout, m, ldim)
+  y = jnp.transpose(y, (0, 1, 2, 6, 3, 5, 7, 4))
+  return y.reshape(b, 2 * d, 2 * m, cout, 2 * ldim)
+
+
+def fold_deconv_ok(x_shape, cout, itemsize: int = 2) -> bool:
+  """Static gate for :func:`conv3d_fold_deconv_pallas` (no shard_map
+  wrapper: defers to the XLA lane path under an active mesh)."""
+  if _CONV3D_MODE == "off":
+    return False
+  b, d, m, c, lanes = x_shape
+  if lanes % 128 == 0:          # full lane tiles: band deconv kernel
+    return False
+  fdim = m * lanes
+  if fdim % 128 or c % 8 or cout % 8:
+    return False
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
+    return False
+  vmem = (2 * 2 * c * fdim * itemsize + 9 * max(cout, 8) * fdim * 4 +
+          2 * 4 * max(cout, 8) * fdim * itemsize)
+  if vmem > 10 * 2**20:
+    return False
+  if _CONV3D_MODE == "on":
+    return True
+  if not _FOLD_ON_CHIP_VERIFIED:
+    return False                    # see fold_pallas_ok
+  try:
+    return jax.devices()[0].platform in ("tpu", "axon")
+  except RuntimeError:
+    return False
+
+
 def lane_axis_for(shape) -> int | None:
   """Which NDHWC spatial axis rides the lanes: 3 (W) or 2 (H), else None."""
   _, _, h, w, _ = shape
@@ -711,6 +1071,11 @@ def conv3d_pallas_eligible(shape, kernel, stride, pad, cout) -> bool:
 
 
 _CONV3D_MODE = "auto"   # "auto" | "on" | "off"
+
+# Flip to True once scripts/tpu_kernel_check.py has passed the
+# conv3d_fold_* checks on a real chip (the folded kernels' Mosaic lowering
+# is the only part interpret-mode tests cannot cover).
+_FOLD_ON_CHIP_VERIFIED = False
 
 # Training fast path: set by the train-step builders (training.py) when the
 # step runs WITHOUT a device mesh. The Pallas custom-call cannot be

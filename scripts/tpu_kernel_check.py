@@ -268,6 +268,44 @@ def main():
     tol = 1e-4 if dtype == jnp.float32 else 4e-2
     check(f"conv3d_deconv_{tag}", got, ref, tol, tol)
 
+  # --- folded-lane kernels (1/16 hourglass level: conv4 / conv5) -----------
+  from mode_tpu.ops.pallas.conv3d_kernel import (conv3d_fold_pallas,
+                                                 conv3d_fold_deconv_pallas)
+
+  for b, d, hh, ww, cin, cout, dtype, tag in [
+      (6, 12, 64, 32, 64, 64, jnp.bfloat16, "bf16_conv4_prod"),
+      (1, 4, 16, 32, 32, 32, jnp.float32, "f32_small"),
+  ]:
+    x = jnp.asarray(rng.normal(size=(b, d, hh, ww, cin)) * 0.3, dtype)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.08, dtype)
+    scale = jnp.asarray(rng.normal(size=(cout,)) * 0.2 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    # lane-major with H on the (folded) lanes, W as the fold-major axis
+    xl = jnp.transpose(x, (0, 1, 3, 4, 2))
+    got = jax.jit(lambda a, w_: conv3d_fold_pallas(
+        a, weight_lane_major(w_, 2), scale, bias, relu=True))(xl, wgt)
+    got = jnp.transpose(got, (0, 1, 4, 2, 3))
+    ref = jax.jit(lambda a, b_: conv3d_xla_ref(
+        a, b_, scale, bias, None, True))(x, wgt)
+    tol = 1e-4 if dtype == jnp.float32 else 4e-2
+    check(f"conv3d_fold_{tag}", got, ref, tol, tol)
+
+  for b, d, hh, ww, cin, cout, dtype, tag in [
+      (6, 12, 64, 32, 64, 64, jnp.bfloat16, "bf16_conv5_prod"),
+      (1, 2, 16, 16, 16, 16, jnp.float32, "f32_small"),
+  ]:
+    x = jnp.asarray(rng.normal(size=(b, d, hh, ww, cin)) * 0.3, dtype)
+    kt = jnp.asarray(rng.normal(size=(3, 3, 3, cout, cin)) * 0.08, dtype)
+    scale = jnp.asarray(rng.normal(size=(cout,)) * 0.2 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    xl = jnp.transpose(x, (0, 1, 3, 4, 2))
+    got = jax.jit(lambda a, k: conv3d_fold_deconv_pallas(
+        a, k, scale, bias, lane_axis=2))(xl, kt)
+    got = jnp.transpose(got, (0, 1, 4, 2, 3))
+    ref = jax.jit(lambda a, k: deconv_xla_ref(a, k, scale, bias))(x, kt)
+    tol = 1e-4 if dtype == jnp.float32 else 4e-2
+    check(f"conv3d_fold_deconv_{tag}", got, ref, tol, tol)
+
   # --- 2-D lane-major conv (fusion/stem fast path) -------------------------
   from mode_tpu.ops.pallas.conv2d_kernel import conv2d_fused
 

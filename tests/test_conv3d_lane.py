@@ -178,12 +178,76 @@ def test_conv3d_band_deconv_parity(interpret_pallas, shape, cout, relu, la):
                              rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("shape,cout,relu,la", [
+    ((1, 4, 8, 16, 16), 16, True, 3),    # F = 128
+    ((2, 2, 4, 8, 32), 8, False, 3),     # batch
+    ((1, 3, 16, 8, 16), 8, True, 2),     # lanes = H, F = 256
+])
+def test_conv3d_fold_deconv_parity(interpret_pallas, shape, cout, relu, la):
+  """Folded-lane deconv == XLA ConvTranspose3d(k3 s2 p1 op1)."""
+  b, d, m, c, lanes = shape
+  key = jax.random.PRNGKey(11)
+  k1, k2, k3, k4 = jax.random.split(key, 4)
+  xl = jax.random.normal(k1, shape, jnp.float32) * 0.3
+  kernel_t = jax.random.normal(k2, (3, 3, 3, cout, c), jnp.float32) * 0.1
+  scale = jax.random.normal(k3, (cout,), jnp.float32) * 0.2 + 1.0
+  bias = jax.random.normal(k4, (cout,), jnp.float32) * 0.1
+
+  y = ck.conv3d_fold_deconv_pallas(xl, kernel_t, scale, bias, relu=relu,
+                                   lane_axis=la)
+  assert y.shape == (b, 2 * d, 2 * m, cout, 2 * lanes)
+
+  x_ndhwc = jnp.transpose(xl, (0, 1, 2, 4, 3))
+  kt = kernel_t if la == 3 else jnp.transpose(kernel_t, (0, 2, 1, 3, 4))
+  ref = _xla_ref_deconv(x_ndhwc, kt, scale[None, None, None, None],
+                        bias[None, None, None, None], relu)
+  ref = jnp.transpose(ref, (0, 1, 2, 4, 3))
+  np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                             rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,cout,relu", [
+    ((1, 4, 8, 16, 16), 16, True),      # F = 128, db = 4
+    ((2, 4, 4, 8, 32), 8, False),       # F = 128, batch
+    ((1, 6, 16, 8, 16), 8, True),       # F = 256, db = 2
+    ((1, 3, 32, 16, 64), 16, True),     # conv4-like fold (F = 2048), db = 1
+])
+def test_conv3d_fold_parity(interpret_pallas, shape, cout, relu):
+  """Folded-lane (M·L on the lanes) kernel == XLA stride-1 conv."""
+  b, d, m, c, lanes = shape
+  key = jax.random.PRNGKey(7)
+  k1, k2, k3, k4 = jax.random.split(key, 4)
+  xl = jax.random.normal(k1, shape, jnp.float32) * 0.3
+  wgt = jax.random.normal(k2, (3, 3, 3, c, cout), jnp.float32) * 0.1
+  scale = jax.random.normal(k3, (cout,), jnp.float32) * 0.2 + 1.0
+  bias = jax.random.normal(k4, (cout,), jnp.float32) * 0.1
+
+  y = ck.conv3d_fold_pallas(xl, wgt, scale, bias, relu=relu)
+  assert y.shape == (b, d, m, cout, lanes)
+
+  # reference in NDHWC: M plays H, the lane axis plays W
+  x_ndhwc = jnp.transpose(xl, (0, 1, 2, 4, 3))
+  ref = _xla_ref(x_ndhwc, wgt, scale, bias, None, relu)
+  ref = jnp.transpose(ref, (0, 1, 2, 4, 3))
+  np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                             rtol=1e-5, atol=1e-5)
+
+
 def test_lane_gate_rejects_ineligible():
   assert not ck.band_pallas_ok((1, 4, 16, 30, 128), 32)   # C % 8
   assert not ck.band_pallas_ok((1, 4, 16, 32, 96), 32)    # lanes % 128
   ck.set_conv3d_pallas("off")
   try:
     assert not ck.band_pallas_ok((1, 4, 16, 32, 128), 32)
+  finally:
+    ck.set_conv3d_pallas("auto")
+  # fold gate: full-lane shapes belong to the band kernel; C % 8 rejected
+  ck.set_conv3d_pallas("on")
+  try:
+    assert not ck.fold_pallas_ok((1, 4, 16, 32, 128), 32)  # lanes full
+    assert not ck.fold_pallas_ok((1, 4, 16, 30, 64), 32)   # C % 8
+    assert not ck.fold_pallas_ok((1, 4, 3, 32, 17), 32)    # F % 128
+    assert ck.fold_pallas_ok((1, 4, 32, 64, 64), 64)       # conv4 shape
   finally:
     ck.set_conv3d_pallas("auto")
 
