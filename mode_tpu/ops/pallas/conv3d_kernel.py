@@ -907,7 +907,7 @@ def _kernel_fold_dec(x_ref, wa_ref, wb_ref, sb_ref, o_ref, bands_ref, z_ref,
       acc = accs[pm][pl_] * sb_ref[0] + sb_ref[1]
       if relu:
         acc = jnp.maximum(acc, 0.0)
-      o_ref[0, 0, 0, pm, pl_] = acc.astype(o_ref.dtype)
+      o_ref[0, 0, 2 * pm + pl_] = acc.astype(o_ref.dtype)
 
 
 def conv3d_fold_deconv_pallas(x: jnp.ndarray, kernel_t: jnp.ndarray,
@@ -967,9 +967,9 @@ def conv3d_fold_deconv_pallas(x: jnp.ndarray, kernel_t: jnp.ndarray,
           pl.BlockSpec((9 * cout, 2 * cin), lambda i, j, k: (0, 0)),
           pl.BlockSpec((2, cout, 1), lambda i, j, k: (0, 0, 0)),
       ],
-      out_specs=pl.BlockSpec((1, 1, 1, 2, 2, cout, fdim),
-                             lambda i, j, k: (i, j, k, 0, 0, 0, 0)),
-      out_shape=jax.ShapeDtypeStruct((b, d, 2, 2, 2, cout, fdim), x.dtype),
+      out_specs=pl.BlockSpec((1, 1, 4, cout, fdim),
+                             lambda i, j, k: (i, 2 * j + k, 0, 0, 0)),
+      out_shape=jax.ShapeDtypeStruct((b, 2 * d, 4, cout, fdim), x.dtype),
       scratch_shapes=[
           pltpu.VMEM((2, 2 * cin, fdim), x.dtype),
           pltpu.VMEM((9 * cout, fdim), jnp.float32),
@@ -979,8 +979,10 @@ def conv3d_fold_deconv_pallas(x: jnp.ndarray, kernel_t: jnp.ndarray,
           flops=flops, bytes_accessed=x.size * itemsize * 4,
           transcendentals=0),
   )(xp, wa, wb, sb)
-  y = y.reshape(b, d, 2, 2, 2, cout, m, ldim)
-  y = jnp.transpose(y, (0, 1, 2, 6, 3, 5, 7, 4))
+  # dim1 already interleaves (d, phase_d); unfold the (pm, pl) phases and
+  # the (M, L) fold, then interleave them into the 1/8-level layout
+  y = y.reshape(b, 2 * d, 2, 2, cout, m, ldim)
+  y = jnp.transpose(y, (0, 1, 5, 2, 4, 6, 3))
   return y.reshape(b, 2 * d, 2 * m, cout, 2 * ldim)
 
 
