@@ -740,7 +740,8 @@ def conv3d_fold_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   """Fused stride-1 3x3x3 conv for levels where NO single axis fills the
   128 TPU lanes (the 1/16 hourglass level: M=32, L=64) — M and L fold
   together onto the lanes. XLA runs these convs at ~3 bf16-TFLOP/s (every
-  axis starves the MXU; `docs/PROFILES.md` round-3 probes).
+  axis starves the MXU; `docs/PROFILES.md` round-3 probes). Serves the
+  hourglass conv4 (`/root/reference/models/mode_disparity.py:21,37`).
 
   Args:
     x: (B, D, M, C, L) lane-major volume, M·L a multiple of 128.
@@ -919,7 +920,8 @@ def conv3d_fold_deconv_pallas(x: jnp.ndarray, kernel_t: jnp.ndarray,
   axis fills the lanes (the 1/16 -> 1/8 hourglass decoder step): M and L
   fold onto the lanes; the 8 sub-pixel phases come out as separate folded
   planes and XLA interleaves them into the (B, 2D, 2M, Cout, 2L)
-  lane-major volume the 1/8 level uses.
+  lane-major volume the 1/8 level uses. Serves the hourglass conv5
+  (`/root/reference/models/mode_disparity.py:23,40-42`).
 
   Args:
     x: (B, D, M, C, L) lane-major volume, M·L a multiple of 128.
