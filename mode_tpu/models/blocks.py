@@ -241,11 +241,20 @@ class Conv3dDFold(nn.Module):
     if (tuple(self.kernel) == (3, 3, 3) and tuple(self.stride) == (1, 1, 1)
         and tuple(self.pad) == (1, 1, 1)):
       from mode_tpu.ops.pallas.conv3d_kernel import (
-          conv3d_ndhwc_fast, train_conv3d_eligible)
+          conv3d_fold_fast, conv3d_ndhwc_fast, train_conv3d_eligible,
+          train_fold_eligible)
       if train_conv3d_eligible(x.shape, self.features):
         # single-chip training fast path: Pallas fwd + Pallas grad-input,
         # XLA conv-backward-filter for grad-weight (custom_vjp)
         y = conv3d_ndhwc_fast(x, w)
+        if self.use_bias:
+          b = self.param("bias", nn.initializers.zeros, (self.features,))
+          y = y + b.astype(y.dtype)
+        return y
+      if train_fold_eligible(x.shape, self.features,
+                             jnp.dtype(dt).itemsize):
+        # 1/16-level training fast path: folded-lane Pallas fwd/bwd
+        y = conv3d_fold_fast(x, w)
         if self.use_bias:
           b = self.param("bias", nn.initializers.zeros, (self.features,))
           y = y + b.astype(y.dtype)

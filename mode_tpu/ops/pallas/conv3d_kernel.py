@@ -1204,3 +1204,71 @@ def train_conv3d_eligible(x_shape, cout) -> bool:
   # both fwd (c->cout) and grad-input (cout->c) must fit the kernel
   return (band_pallas_ok((b, d, m, c, 128), cout) and
           band_pallas_ok((b, d, m, cout, 128), c))
+
+
+# Folded-lane training conv for the 1/16 hourglass level, where no axis
+# fills the lanes and the differentiated XLA conv starves the MXU. Same
+# custom-VJP structure as conv3d_ndhwc_fast: Pallas fwd + Pallas
+# grad-input (flipped kernel, channels swapped), XLA conv-backward-filter
+# for grad-weight. Off by default pending an on-chip A/B against the
+# dfold XLA layout (the full-lane train path lost that A/B; these shapes
+# run XLA 3-5x slower, so the verdict may differ — measure first).
+_TRAIN_FOLD = False
+
+
+def set_conv3d_train_fold(enabled: bool):
+  global _TRAIN_FOLD
+  _TRAIN_FOLD = bool(enabled)
+
+
+def _ndhwc_fold(x, w):
+  xl = jnp.transpose(x, (0, 1, 2, 4, 3))      # (B, D, M=H, C, L=W)
+  y = conv3d_fold_pallas(xl, w)               # DHWIO == (kd, k_M, k_L, I, O)
+  return jnp.transpose(y, (0, 1, 2, 4, 3))
+
+
+@jax.custom_vjp
+def conv3d_fold_fast(x, w):
+  """Stride-1 3x3x3 SAME conv, NDHWC, folded-lane Pallas fwd/bwd."""
+  return _ndhwc_fold(x, w)
+
+
+def _fold_fast_fwd(x, w):
+  return _ndhwc_fold(x, w), (x, w)
+
+
+def _fold_fast_bwd(res, g):
+  x, w = res
+  wt = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+  dx = _ndhwc_fold(g, wt)
+
+  prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+          else jax.lax.Precision.DEFAULT)
+  dn = lax.conv_dimension_numbers(x.shape, g.shape,
+                                  ("CDHWN", "IDHWO", "NDHWC"))
+  dw = lax.conv_general_dilated(
+      x, g, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=dn,
+      precision=prec)
+  dw = jnp.transpose(dw, (1, 2, 3, 0, 4)).astype(w.dtype)
+  return dx.astype(x.dtype), dw
+
+
+conv3d_fold_fast.defvjp(_fold_fast_fwd, _fold_fast_bwd)
+
+
+def train_fold_eligible(x_shape, cout, itemsize: int = 2) -> bool:
+  """Gate for :func:`conv3d_fold_fast` (NDHWC shapes; no mesh wrapper)."""
+  if not _TRAIN_FOLD:
+    return False
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
+    return False
+  b, d, h, w, c = x_shape
+  if lane_axis_for(x_shape) is not None:      # band-path territory
+    return False
+  f = h * w
+  if f % 128 or c % 8 or cout % 8:
+    return False
+  return (_pick_blocks_fold(d, c, cout, f, itemsize) is not None and
+          _pick_blocks_fold(d, cout, c, f, itemsize) is not None)

@@ -252,6 +252,41 @@ def test_lane_gate_rejects_ineligible():
     ck.set_conv3d_pallas("auto")
 
 
+def test_conv3d_fold_custom_vjp_grads(interpret_pallas):
+  """conv3d_fold_fast gradients == XLA conv gradients (1/16-class shape:
+  no single axis fills the lanes, H*W folds to full tiles)."""
+  key = jax.random.PRNGKey(4)
+  k1, k2, k3 = jax.random.split(key, 3)
+  b, d, h, w, c, cout = 1, 4, 16, 8, 8, 16
+  x = jax.random.normal(k1, (b, d, h, w, c), jnp.float32) * 0.3
+  wgt = jax.random.normal(k2, (3, 3, 3, c, cout), jnp.float32) * 0.1
+  cot = jax.random.normal(k3, (b, d, h, w, cout), jnp.float32)
+
+  def xla_conv(x_, w_):
+    dn = lax.conv_dimension_numbers(x_.shape, w_.shape,
+                                    ("NDHWC", "DHWIO", "NDHWC"))
+    return lax.conv_general_dilated(x_, w_, (1, 1, 1), [(1, 1)] * 3,
+                                    dimension_numbers=dn,
+                                    precision=lax.Precision.HIGHEST)
+
+  def loss_ref(x_, w_):
+    return jnp.sum(xla_conv(x_, w_) * cot)
+
+  def loss_fast(x_, w_):
+    return jnp.sum(ck.conv3d_fold_fast(x_, w_) * cot)
+
+  y_ref = xla_conv(x, wgt)
+  y = ck.conv3d_fold_fast(x, wgt)
+  np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                             rtol=1e-4, atol=1e-4)
+  dx_ref, dw_ref = jax.grad(loss_ref, argnums=(0, 1))(x, wgt)
+  dx, dw = jax.grad(loss_fast, argnums=(0, 1))(x, wgt)
+  np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                             rtol=1e-4, atol=1e-4)
+  np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                             rtol=1e-4, atol=1e-4)
+
+
 def test_conv3d_custom_vjp_grads(interpret_pallas):
   """conv3d_ndhwc_fast gradients == XLA conv gradients (f32, interpret)."""
   key = jax.random.PRNGKey(2)
