@@ -40,6 +40,24 @@ from jax.experimental.pallas import tpu as pltpu
 from mode_tpu.ops.pallas.sphere_conv_kernel import _mxu_precision
 
 
+def _platform_ok() -> bool:
+  """Shared 'auto' gate tail: Pallas-on-TPU backends only."""
+  try:
+    return jax.devices()[0].platform in ("tpu", "axon")
+  except RuntimeError:
+    return False
+
+
+def _affine_sb(scale, bias, cout):
+  """Epilogue affine as the (2, Cout, 1) block every kernel consumes."""
+  return jnp.stack([
+      jnp.ones((cout,), jnp.float32) if scale is None
+      else scale.astype(jnp.float32),
+      jnp.zeros((cout,), jnp.float32) if bias is None
+      else bias.astype(jnp.float32),
+  ])[:, :, None]
+
+
 def _kernel(x_ref, w_ref, sb_ref, res_ref, o_ref, bands_ref, z_ref, sem,
             *, db, mb, cin, cout, lanes, relu, has_res):
   b = pl.program_id(0)
@@ -192,12 +210,7 @@ def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   w2 = jnp.transpose(weight, (0, 2, 4, 1, 3)).reshape(3, 3 * cout, 3 * cin)
   w2 = w2.astype(x.dtype)
 
-  sb = jnp.stack([
-      jnp.ones((cout,), jnp.float32) if scale is None
-      else scale.astype(jnp.float32),
-      jnp.zeros((cout,), jnp.float32) if bias is None
-      else bias.astype(jnp.float32),
-  ])[:, :, None]                                       # (2, Cout, 1)
+  sb = _affine_sb(scale, bias, cout)
 
   # pad D/M halos and flatten (M, C) so a kh-window is one sublane slice
   # (when m_halo, the M halo rows arrived with the input)
@@ -369,12 +382,7 @@ def conv3d_band_s2_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   w2 = jnp.transpose(weight, (0, 2, 4, 1, 3)).reshape(3, 3 * cout, 3 * cin)
   w2 = w2.astype(x.dtype)
 
-  sb = jnp.stack([
-      jnp.ones((cout,), jnp.float32) if scale is None
-      else scale.astype(jnp.float32),
-      jnp.zeros((cout,), jnp.float32) if bias is None
-      else bias.astype(jnp.float32),
-  ])[:, :, None]                                       # (2, Cout, 1)
+  sb = _affine_sb(scale, bias, cout)
 
   m_pad = (0, 0) if m_halo else (1, 1)
   xp = jnp.pad(x, ((0, 0), (1, 1), m_pad, (0, 0), (0, 0)))
@@ -430,10 +438,7 @@ def band_s2_ok(x_shape, cout, itemsize: int = 2) -> bool:
     return False
   if _CONV3D_MODE == "on":
     return True
-  try:
-    return jax.devices()[0].platform in ("tpu", "axon")
-  except RuntimeError:
-    return False
+  return _platform_ok()
 
 
 def _kernel_dec(x_ref, wa_ref, wb_ref, sb_ref, o_ref, bands_ref, z_ref, sem,
@@ -586,12 +591,7 @@ def conv3d_band_deconv_pallas(x: jnp.ndarray, kernel_t: jnp.ndarray,
   wb = jnp.transpose(wb, (0, 1, 4, 3, 2))          # (kd, kl, O, 2, I)
   wb = wb.reshape(3, 3 * cout, 2 * cin).astype(x.dtype)
 
-  sb = jnp.stack([
-      jnp.ones((cout,), jnp.float32) if scale is None
-      else scale.astype(jnp.float32),
-      jnp.zeros((cout,), jnp.float32) if bias is None
-      else bias.astype(jnp.float32),
-  ])[:, :, None]
+  sb = _affine_sb(scale, bias, cout)
 
   # +1 right halo on D and M (the (k-1-p, k-1-p+op) pad of the dilated
   # input reduces to one trailing plane/row of zeros)
@@ -647,10 +647,7 @@ def band_deconv_ok(x_shape, cout, itemsize: int = 2) -> bool:
     return False
   if _CONV3D_MODE == "on":
     return True
-  try:
-    return jax.devices()[0].platform in ("tpu", "axon")
-  except RuntimeError:
-    return False
+  return _platform_ok()
 
 
 def _kernel_fold(x_ref, w_ref, sb_ref, o_ref, bands_ref, z_ref, sem, *,
@@ -763,12 +760,7 @@ def conv3d_fold_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   # rows (k_M, k_L, co), cols (kd, ci)
   w2 = jnp.transpose(weight, (1, 2, 4, 0, 3)).reshape(9 * cout, 3 * cin)
   w2 = w2.astype(x.dtype)
-  sb = jnp.stack([
-      jnp.ones((cout,), jnp.float32) if scale is None
-      else scale.astype(jnp.float32),
-      jnp.zeros((cout,), jnp.float32) if bias is None
-      else bias.astype(jnp.float32),
-  ])[:, :, None]
+  sb = _affine_sb(scale, bias, cout)
 
   xf = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b, d, cin, fdim)
   xp = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)))
@@ -824,10 +816,7 @@ def fold_pallas_ok(x_shape, cout, itemsize: int = 2) -> bool:
     # kernels has not run on a real chip yet — keep auto dispatch off until
     # scripts/tpu_kernel_check.py passes the conv3d_fold_* checks
     return False
-  try:
-    return jax.devices()[0].platform in ("tpu", "axon")
-  except RuntimeError:
-    return False
+  return _platform_ok()
 
 
 # (km, kl) tap -> ((pm, pl) output phase, (dm, dl) input offset) for the
@@ -849,26 +838,32 @@ def _kernel_fold_dec(x_ref, wa_ref, wb_ref, sb_ref, o_ref, bands_ref, z_ref,
   d = pl.program_id(1)
   pd = pl.program_id(2)
   nd = pl.num_programs(1)
-  lin = (b * nd + d) * 2 + pd
-  total = pl.num_programs(0) * nd * 2
-  slot = lax.rem(lin, 2)
   fdim = mdim * ldim
+  # both phase_d grid steps of one (b, d) share one band: DMA it on the
+  # even step, prefetch the NEXT (b, d)'s band on the odd step (pair p uses
+  # slot p%2, so its band survives until pair p+2's prefetch — grid steps
+  # are sequential)
+  pair = b * nd + d
+  npairs = pl.num_programs(0) * nd
+  slot = lax.rem(pair, 2)
 
   def band_dma(slot_idx, b_, d_):
     return pltpu.make_async_copy(
         x_ref.at[b_, pl.ds(d_ * cin, 2 * cin)],
         bands_ref.at[slot_idx], sem.at[slot_idx])
 
-  @pl.when(lin == 0)
+  @pl.when((pair == 0) & (pd == 0))
   def _first():
     band_dma(slot, b, d).start()
 
-  @pl.when(lin + 1 < total)
+  @pl.when((pd == 1) & (pair + 1 < npairs))
   def _prefetch():
-    nxt = lin + 1
-    band_dma(1 - slot, nxt // (2 * nd), lax.rem(nxt // 2, nd)).start()
+    nxt = pair + 1
+    band_dma(1 - slot, nxt // nd, lax.rem(nxt, nd)).start()
 
-  band_dma(slot, b, d).wait()
+  @pl.when(pd == 0)
+  def _wait():
+    band_dma(slot, b, d).wait()
 
   prec = _mxu_precision(wa_ref.dtype)
   # even output plane (2d): flipped-centre kd tap @ plane d;
@@ -946,12 +941,7 @@ def conv3d_fold_deconv_pallas(x: jnp.ndarray, kernel_t: jnp.ndarray,
   wa = aa[1].astype(x.dtype)
   wb = jnp.concatenate([aa[0], aa[2]], axis=1).astype(x.dtype)
 
-  sb = jnp.stack([
-      jnp.ones((cout,), jnp.float32) if scale is None
-      else scale.astype(jnp.float32),
-      jnp.zeros((cout,), jnp.float32) if bias is None
-      else bias.astype(jnp.float32),
-  ])[:, :, None]
+  sb = _affine_sb(scale, bias, cout)
 
   xf = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b, d, cin, fdim)
   xp = jnp.pad(xf, ((0, 0), (0, 1), (0, 0), (0, 0)))    # +1 right D halo
@@ -1011,10 +1001,7 @@ def fold_deconv_ok(x_shape, cout, itemsize: int = 2) -> bool:
     return True
   if not _FOLD_ON_CHIP_VERIFIED:
     return False                    # see fold_pallas_ok
-  try:
-    return jax.devices()[0].platform in ("tpu", "axon")
-  except RuntimeError:
-    return False
+  return _platform_ok()
 
 
 def lane_axis_for(shape) -> int | None:
@@ -1131,10 +1118,7 @@ def band_pallas_ok(x_shape, cout, itemsize: int = 2,
     return False
   if _CONV3D_MODE == "on":
     return True
-  try:
-    return jax.devices()[0].platform in ("tpu", "axon")
-  except RuntimeError:
-    return False
+  return _platform_ok()
 
 
 # ---------------------------------------------------------------------------
