@@ -796,7 +796,7 @@ def fold_pallas_ok(x_shape, cout, itemsize: int = 2) -> bool:
   lane axis is sub-128 but whose M·L fold fills whole lane tiles). Under an
   active mesh this path has no shard_map wrapper yet, so it defers to the
   XLA lane path (which the SPMD partitioner can split)."""
-  if _CONV3D_MODE == "off":
+  if _CONV3D_MODE == "off" or _FOLD_MODE == "off":
     return False
   b, d, m, c, lanes = x_shape
   if lanes % 128 == 0:          # full lane tiles: the band kernel is better
@@ -809,7 +809,7 @@ def fold_pallas_ok(x_shape, cout, itemsize: int = 2) -> bool:
     return False
   if _pick_blocks_fold(d, c, max(cout, 8), m * lanes, itemsize) is None:
     return False
-  if _CONV3D_MODE == "on":
+  if _CONV3D_MODE == "on" or _FOLD_MODE == "on":
     return True
   if not _FOLD_ON_CHIP_VERIFIED:
     # interpret-mode parity is green, but the Mosaic lowering of the folded
@@ -981,7 +981,7 @@ def conv3d_fold_deconv_pallas(x: jnp.ndarray, kernel_t: jnp.ndarray,
 def fold_deconv_ok(x_shape, cout, itemsize: int = 2) -> bool:
   """Static gate for :func:`conv3d_fold_deconv_pallas` (no shard_map
   wrapper: defers to the XLA lane path under an active mesh)."""
-  if _CONV3D_MODE == "off":
+  if _CONV3D_MODE == "off" or _FOLD_MODE == "off":
     return False
   b, d, m, c, lanes = x_shape
   if lanes % 128 == 0:          # full lane tiles: band deconv kernel
@@ -997,7 +997,7 @@ def fold_deconv_ok(x_shape, cout, itemsize: int = 2) -> bool:
           2 * 4 * max(cout, 8) * fdim * itemsize)
   if vmem > 10 * 2**20:
     return False
-  if _CONV3D_MODE == "on":
+  if _CONV3D_MODE == "on" or _FOLD_MODE == "on":
     return True
   if not _FOLD_ON_CHIP_VERIFIED:
     return False                    # see fold_pallas_ok
@@ -1067,6 +1067,18 @@ _CONV3D_MODE = "auto"   # "auto" | "on" | "off"
 # conv3d_fold_* checks on a real chip (the folded kernels' Mosaic lowering
 # is the only part interpret-mode tests cannot cover).
 _FOLD_ON_CHIP_VERIFIED = False
+
+_FOLD_MODE = "auto"   # "auto" | "on" | "off" — see set_fold_pallas
+
+
+def set_fold_pallas(mode: str):
+  """Force/forbid/auto-select the folded-lane kernels independently of the
+  band kernels (tests: the mesh-equality tests pin the shard_map'd band
+  kernels against single-device output, and the fold kernels — which have
+  no shard wrapper — must then dispatch identically on both sides)."""
+  global _FOLD_MODE
+  assert mode in ("auto", "on", "off")
+  _FOLD_MODE = mode
 
 # Training fast path: set by the train-step builders (training.py) when the
 # step runs WITHOUT a device mesh. The Pallas custom-call cannot be

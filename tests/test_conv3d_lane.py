@@ -248,8 +248,13 @@ def test_lane_gate_rejects_ineligible():
     assert not ck.fold_pallas_ok((1, 4, 16, 30, 64), 32)   # C % 8
     assert not ck.fold_pallas_ok((1, 4, 3, 32, 17), 32)    # F % 128
     assert ck.fold_pallas_ok((1, 4, 32, 64, 64), 64)       # conv4 shape
+    ck.set_fold_pallas("off")                              # fold-only off
+    assert not ck.fold_pallas_ok((1, 4, 32, 64, 64), 64)
+    assert not ck.fold_deconv_ok((1, 4, 32, 64, 64), 64)
+    assert ck.band_pallas_ok((1, 4, 16, 32, 128), 32)      # band unaffected
   finally:
     ck.set_conv3d_pallas("auto")
+    ck.set_fold_pallas("auto")
 
 
 def test_conv3d_fold_custom_vjp_grads(interpret_pallas):

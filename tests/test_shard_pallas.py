@@ -130,6 +130,11 @@ def test_lane_mid_section_under_mesh(interpret_pallas, mesh24):
                          train=False)
 
   ck.set_conv3d_pallas("on")
+  # fold kernels have no shard_map wrapper (their gates reject an active
+  # mesh), so force them off on BOTH sides — this test pins the sharded
+  # band/regression kernels against the same single-device dispatch, and
+  # the fold kernels carry their own parity tests (test_conv3d_lane.py)
+  ck.set_fold_pallas("off")
   disp_mod.set_fused_regression("on")
   try:
     ref_pred, ref_conf = model.apply(variables, left, right, train=False)
@@ -137,6 +142,7 @@ def test_lane_mid_section_under_mesh(interpret_pallas, mesh24):
       pred, conf = model.apply(variables, left, right, train=False)
   finally:
     ck.set_conv3d_pallas("auto")
+    ck.set_fold_pallas("auto")
     disp_mod.set_fused_regression("auto")
 
   np.testing.assert_allclose(np.asarray(pred), np.asarray(ref_pred),
