@@ -271,6 +271,20 @@ class Conv3dDFold(nn.Module):
             precision=mxu_precision(dt))
         y = yk if y is None else y + yk
       y = y.reshape(n, d, h, ww, self.features)
+    elif (tuple(self.kernel) == (3, 3, 3)
+          and tuple(self.stride) == (2, 2, 2)
+          and tuple(self.pad) == (1, 1, 1)):
+      from mode_tpu.ops.pallas.conv3d_kernel import (conv3d_s2_fast,
+                                                     train_s2_eligible)
+      if train_s2_eligible(x.shape, self.features, jnp.dtype(dt).itemsize):
+        # training fast path: band-s2 Pallas fwd + deconv-kernel grad-input
+        y = conv3d_s2_fast(x, w)
+      else:
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, w, tuple(self.stride), [(p, p) for p in self.pad],
+            dimension_numbers=dn, precision=mxu_precision(dt))
     else:
       dn = jax.lax.conv_dimension_numbers(
           x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
@@ -447,6 +461,16 @@ class ConvTranspose(nn.Module):
           x, w.astype(x.dtype), lane_dec.get("scale"), lane_dec.get("bias"),
           relu=lane_dec.get("relu", False),
           lane_axis=lane_dec["lane_axis"])
+    if (nd == 3 and lane_xla is None and tuple(self.kernel) == (3, 3, 3)
+        and self.stride == 2 and self.padding == 1
+        and self.output_padding == 1 and not self.use_bias):
+      from mode_tpu.ops.pallas.conv3d_kernel import (convtranspose3d_fast,
+                                                     train_deconv_eligible)
+      if train_deconv_eligible(x.shape, self.features,
+                               jnp.dtype(x.dtype).itemsize):
+        # training fast path: deconv-kernel fwd + band-s2 grad-input
+        return checkpoint_name(
+            convtranspose3d_fast(x, w.astype(x.dtype)), "conv_out")
     w_flipped = jnp.flip(w, axis=tuple(range(nd)))
     w_io = jnp.swapaxes(w_flipped, -1, -2)                # (*K, I, O)
     pad = [(k - 1 - self.padding, k - 1 - self.padding + self.output_padding)

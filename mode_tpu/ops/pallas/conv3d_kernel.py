@@ -1268,3 +1268,175 @@ def train_fold_eligible(x_shape, cout, itemsize: int = 2) -> bool:
     return False
   return (_pick_blocks_fold(d, c, cout, f, itemsize) is not None and
           _pick_blocks_fold(d, cout, c, f, itemsize) is not None)
+
+
+# ---------------------------------------------------------------------------
+# Training paths for the hourglass's strided convs: custom-VJP stride-2
+# conv and transpose conv on NDHWC. The two ops are each other's input
+# adjoints — sharing the same parameter array, no flip or channel swap —
+# so the SAME chip-proven kernels serve both directions:
+#   * stride-2 conv:    fwd = band-s2 kernel; grad-input = deconv of the
+#     cotangent with the weight itself (band or folded deconv);
+#   * transpose conv:   fwd = band/folded deconv kernel; grad-input =
+#     stride-2 band conv of the cotangent with kernel_t itself.
+# Grad-weight uses jax.vjp of the equivalent XLA conv (exactly the
+# conv-backward-filter program autodiff would emit — zero derivation risk).
+# Off by default pending the on-chip A/B (scripts/bench_train_fold.py):
+# the full-lane stride-1 train path lost its A/B to XLA fusion, but the
+# strided ops run XLA at 3-8 TF/s where the kernels measure 25-65.
+# ---------------------------------------------------------------------------
+
+_TRAIN_STRIDED = False
+
+
+def set_conv3d_train_strided(enabled: bool):
+  global _TRAIN_STRIDED
+  _TRAIN_STRIDED = bool(enabled)
+
+
+def _deconv_route(shape, cout, itemsize):
+  """How an NDHWC transpose conv runs: ('band', la) | ('fold',) | None."""
+  b, d, h, w, c = shape
+  la = lane_axis_for(shape)
+  if la is not None:
+    lanes, m = (w, h) if la == 3 else (h, w)
+    if band_deconv_ok((b, d, m, c, lanes), cout, itemsize):
+      return ("band", la)
+  if fold_deconv_ok((b, d, h, c, w), cout, itemsize):
+    return ("fold",)
+  return None
+
+
+def _s2_route(shape, cout, itemsize):
+  """How an NDHWC stride-2 conv runs: ('band', la) | None."""
+  b, d, h, w, c = shape
+  la = lane_axis_for(shape)
+  if la is not None:
+    lanes, m = (w, h) if la == 3 else (h, w)
+    if band_s2_ok((b, d, m, c, lanes), cout, itemsize):
+      return ("band", la)
+  return None
+
+
+def _run_deconv(x, kt, route):
+  if route[0] == "band":
+    la = route[1]
+    y = conv3d_band_deconv_pallas(to_lane_major(x, la), kt, lane_axis=la)
+    return from_lane_major(y, la)
+  xl = jnp.transpose(x, (0, 1, 2, 4, 3))        # (B, D, M=H, C, L=W)
+  y = conv3d_fold_deconv_pallas(xl, kt, lane_axis=3)
+  return jnp.transpose(y, (0, 1, 2, 4, 3))
+
+
+def _run_s2(x, w, route):
+  la = route[1]
+  y = conv3d_band_s2_pallas(to_lane_major(x, la), weight_lane_major(w, la))
+  return from_lane_major(y, la)
+
+
+def _xla_s2(x, w):
+  dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                  ("NDHWC", "DHWIO", "NDHWC"))
+  return lax.conv_general_dilated(
+      x, w, (2, 2, 2), [(1, 1)] * 3, dimension_numbers=dn,
+      precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT))
+
+
+def _xla_deconv(x, kt):
+  w_io = jnp.swapaxes(jnp.flip(kt, axis=(0, 1, 2)), -1, -2)
+  dn = lax.conv_dimension_numbers(x.shape, w_io.shape,
+                                  ("NDHWC", "DHWIO", "NDHWC"))
+  return lax.conv_general_dilated(
+      x, w_io, (1, 1, 1), [(1, 2)] * 3, lhs_dilation=(2, 2, 2),
+      dimension_numbers=dn,
+      precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT))
+
+
+@jax.custom_vjp
+def conv3d_s2_fast(x, w):
+  """Stride-2 pad-1 3x3x3 conv, NDHWC, Pallas fwd + Pallas grad-input."""
+  route = _s2_route(x.shape, w.shape[-1], jnp.dtype(x.dtype).itemsize)
+  return _run_s2(x, w, route) if route else _xla_s2(x, w)
+
+
+def _s2_fast_fwd(x, w):
+  return conv3d_s2_fast(x, w), (x, w)
+
+
+def _s2_fast_bwd(res, g):
+  x, w = res
+  # grad-input: the k3/s2/p1/op1 transpose conv is EXACTLY the adjoint of
+  # this conv, and the (K, Cin, Cout) conv weight read as the deconv's
+  # (K, O, I) param is the same array — no flip, no channel swap
+  # (dx[q, ci] = sum_{p, co} g[p, co] * w[q + 1 - 2p][ci, co])
+  kt = w
+  route = _deconv_route(g.shape, x.shape[-1],
+                        jnp.dtype(g.dtype).itemsize)
+  dx = _run_deconv(g, kt, route) if route else _xla_deconv(g, kt)
+  _, pull = jax.vjp(lambda w_: _xla_s2(x, w_), w)
+  dw, = pull(g.astype(x.dtype))
+  return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+conv3d_s2_fast.defvjp(_s2_fast_fwd, _s2_fast_bwd)
+
+
+@jax.custom_vjp
+def convtranspose3d_fast(x, kt):
+  """ConvTranspose3d(k3 s2 p1 op1), NDHWC, Pallas fwd + Pallas grad-input.
+  ``kt`` is the torch-layout (3, 3, 3, O, I) param."""
+  route = _deconv_route(x.shape, kt.shape[3], jnp.dtype(x.dtype).itemsize)
+  return _run_deconv(x, kt, route) if route else _xla_deconv(x, kt)
+
+
+def _deconv_fast_fwd(x, kt):
+  return convtranspose3d_fast(x, kt), (x, kt)
+
+
+def _deconv_fast_bwd(res, g):
+  x, kt = res
+  # grad-input: the stride-2 pad-1 conv is the adjoint of this deconv, and
+  # the (K, O, I) kernel_t read as the conv's (K, Cin, Cout) weight is the
+  # same array (dx[p, i] = sum_{k, o} g[2p + k - 1, o] * kt[k][o, i])
+  w = kt
+  route = _s2_route(g.shape, x.shape[-1], jnp.dtype(g.dtype).itemsize)
+  dx = _run_s2(g, w, route) if route else _xla_s2(g, w)
+  _, pull = jax.vjp(lambda k_: _xla_deconv(x, k_), kt)
+  dkt, = pull(g.astype(x.dtype))
+  return dx.astype(x.dtype), dkt.astype(kt.dtype)
+
+
+convtranspose3d_fast.defvjp(_deconv_fast_fwd, _deconv_fast_bwd)
+
+
+def train_s2_eligible(x_shape, cout, itemsize: int = 2) -> bool:
+  """Gate for :func:`conv3d_s2_fast`: the fwd AND the grad-input deconv
+  (at the cotangent's half-resolution shape) must both have kernels."""
+  if not _TRAIN_STRIDED:
+    return False
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
+    return False
+  b, d, h, w, c = x_shape
+  if d % 2 or h % 2 or w % 2:
+    return False
+  g_shape = (b, d // 2, h // 2, w // 2, cout)
+  return (_s2_route(x_shape, cout, itemsize) is not None and
+          _deconv_route(g_shape, c, itemsize) is not None)
+
+
+def train_deconv_eligible(x_shape, cout, itemsize: int = 2) -> bool:
+  """Gate for :func:`convtranspose3d_fast` (fwd deconv + grad-input s2)."""
+  if not _TRAIN_STRIDED:
+    return False
+  from mode_tpu.parallel.mesh import active_mesh
+  mesh = active_mesh()
+  if mesh is not None and mesh.size > 1:
+    return False
+  b, d, h, w, c = x_shape
+  g_shape = (b, 2 * d, 2 * h, 2 * w, cout)
+  return (_deconv_route(x_shape, cout, itemsize) is not None and
+          _s2_route(g_shape, c, itemsize) is not None)

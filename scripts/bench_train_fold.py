@@ -15,12 +15,14 @@ import time
 import numpy as np
 
 
-def measure(jax, jnp, b, fold):
+def measure(jax, jnp, b, fold, strided=False):
   from mode_tpu import training
   from mode_tpu.models.disparity import ModeDisparity
-  from mode_tpu.ops.pallas.conv3d_kernel import set_conv3d_train_fold
+  from mode_tpu.ops.pallas.conv3d_kernel import (set_conv3d_train_fold,
+                                                 set_conv3d_train_strided)
 
   set_conv3d_train_fold(fold)
+  set_conv3d_train_strided(strided)
   try:
     h, w = 1024, 512
     model = ModeDisparity(maxdisp=192, conv="Sphere", sphere_type="Cassini",
@@ -47,6 +49,7 @@ def measure(jax, jnp, b, fold):
     return float(np.median(times))
   finally:
     set_conv3d_train_fold(False)
+    set_conv3d_train_strided(False)
 
 
 def main():
@@ -64,15 +67,17 @@ def main():
 
   batches = [int(s) for s in (sys.argv[1:] or ["1", "2"])]
   for b in batches:
-    for fold in (False, True):
+    for fold, strided in ((False, False), (True, False), (False, True),
+                          (True, True)):
       try:
-        t = measure(jax, jnp, b, fold)
+        t = measure(jax, jnp, b, fold, strided)
         print(json.dumps({"b": b, "train_fold": fold,
-                          "step_s": round(t, 4),
+                          "train_strided": strided, "step_s": round(t, 4),
                           "ms_per_example": round(t / b * 1e3, 1)}),
               flush=True)
       except Exception as e:  # noqa: BLE001 — OOM at large B is expected
         print(json.dumps({"b": b, "train_fold": fold,
+                          "train_strided": strided,
                           "error": str(e)[:200]}), flush=True)
 
 

@@ -292,6 +292,87 @@ def test_conv3d_fold_custom_vjp_grads(interpret_pallas):
                              rtol=1e-4, atol=1e-4)
 
 
+def test_conv3d_s2_fast_grads(interpret_pallas):
+  """conv3d_s2_fast fwd + grads == XLA stride-2 conv autodiff. The shape
+  puts 128 lanes on one axis for the band-s2 fwd while the cotangent's
+  half-res shape routes the grad-input deconv through the FOLD kernel."""
+  b, d, h, w, c, cout = 1, 4, 128, 16, 8, 16
+  key = jax.random.PRNGKey(13)
+  k1, k2, k3 = jax.random.split(key, 3)
+  x = jax.random.normal(k1, (b, d, h, w, c), jnp.float32) * 0.3
+  wgt = jax.random.normal(k2, (3, 3, 3, c, cout), jnp.float32) * 0.1
+  cot = jax.random.normal(k3, (b, d // 2, h // 2, w // 2, cout), jnp.float32)
+
+  ck.set_conv3d_pallas("on")
+  ck.set_conv3d_train_strided(True)
+  try:
+    assert ck.train_s2_eligible((b, d, h, w, c), cout, 4)
+    # cotangent (1, 2, 64, 8, 16): no 128 axis -> fold deconv route
+    assert ck._deconv_route((b, d // 2, h // 2, w // 2, cout), c, 4)[0] == \
+        "fold"
+
+    def loss_ref(x_, w_):
+      return jnp.sum(_xla_ref_s2(x_, w_, 1.0, 0.0, False) * cot)
+
+    def loss_fast(x_, w_):
+      return jnp.sum(ck.conv3d_s2_fast(x_, w_) * cot)
+
+    np.testing.assert_allclose(
+        np.asarray(ck.conv3d_s2_fast(x, wgt)),
+        np.asarray(_xla_ref_s2(x, wgt, 1.0, 0.0, False)),
+        rtol=1e-4, atol=1e-4)
+    dx_ref, dw_ref = jax.grad(loss_ref, argnums=(0, 1))(x, wgt)
+    dx, dw = jax.grad(loss_fast, argnums=(0, 1))(x, wgt)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-4, atol=1e-4)
+  finally:
+    ck.set_conv3d_pallas("auto")
+    ck.set_conv3d_train_strided(False)
+
+
+def test_convtranspose3d_fast_grads(interpret_pallas):
+  """convtranspose3d_fast fwd + grads == XLA deconv autodiff. The input has
+  no 128 axis (fold-deconv fwd); the doubled cotangent routes the
+  grad-input through the band-s2 kernel."""
+  b, d, h, w, c, cout = 1, 2, 64, 8, 8, 16
+  key = jax.random.PRNGKey(17)
+  k1, k2, k3 = jax.random.split(key, 3)
+  x = jax.random.normal(k1, (b, d, h, w, c), jnp.float32) * 0.3
+  kt = jax.random.normal(k2, (3, 3, 3, cout, c), jnp.float32) * 0.1
+  cot = jax.random.normal(k3, (b, 2 * d, 2 * h, 2 * w, cout), jnp.float32)
+
+  ck.set_conv3d_pallas("on")
+  ck.set_conv3d_train_strided(True)
+  try:
+    assert ck.train_deconv_eligible((b, d, h, w, c), cout, 4)
+    assert ck._deconv_route((b, d, h, w, c), cout, 4)[0] == "fold"
+    assert ck._s2_route((b, 2 * d, 2 * h, 2 * w, cout), c, 4) is not None
+
+    def ref(x_, k_):
+      return _xla_ref_deconv(x_, k_, 1.0, 0.0, False)
+
+    def loss_ref(x_, k_):
+      return jnp.sum(ref(x_, k_) * cot)
+
+    def loss_fast(x_, k_):
+      return jnp.sum(ck.convtranspose3d_fast(x_, k_) * cot)
+
+    np.testing.assert_allclose(np.asarray(ck.convtranspose3d_fast(x, kt)),
+                               np.asarray(ref(x, kt)),
+                               rtol=1e-4, atol=1e-4)
+    dx_ref, dk_ref = jax.grad(loss_ref, argnums=(0, 1))(x, kt)
+    dx, dk = jax.grad(loss_fast, argnums=(0, 1))(x, kt)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               rtol=1e-4, atol=1e-4)
+  finally:
+    ck.set_conv3d_pallas("auto")
+    ck.set_conv3d_train_strided(False)
+
+
 def test_conv3d_custom_vjp_grads(interpret_pallas):
   """conv3d_ndhwc_fast gradients == XLA conv gradients (f32, interpret)."""
   key = jax.random.PRNGKey(2)
