@@ -160,6 +160,18 @@ def bench_train_step(jax, jnp, b=1):
 
 
 def main():
+  # A wedged TPU tunnel makes jax.devices() hang forever inside plugin
+  # init (observed live) — probe the backend in a child process with a hard
+  # timeout and fail fast with an explicit error instead of hanging the
+  # driver's bench run.
+  from __graft_entry__ import _probe_backend_devices
+  if _probe_backend_devices(timeout_s=240.0) < 1:
+    print(json.dumps({
+        "metric": "two_stage_pipeline_frames_per_sec_per_chip",
+        "value": None, "unit": "frames/s",
+        "error": "TPU backend unreachable (device probe timed out)"}))
+    sys.exit(1)
+
   import jax
   import jax.numpy as jnp
 
