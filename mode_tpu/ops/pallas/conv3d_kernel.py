@@ -1063,10 +1063,11 @@ def conv3d_pallas_eligible(shape, kernel, stride, pad, cout) -> bool:
 
 _CONV3D_MODE = "auto"   # "auto" | "on" | "off"
 
-# Flip to True once scripts/tpu_kernel_check.py has passed the
-# conv3d_fold_* checks on a real chip (the folded kernels' Mosaic lowering
-# is the only part interpret-mode tests cannot cover).
-_FOLD_ON_CHIP_VERIFIED = False
+# Verified on a TPU v5e chip 2026-08-18: scripts/tpu_kernel_check.py passed
+# all four conv3d_fold_* checks (conv4/conv5 production shapes bf16 + f32
+# smalls, max_abs <= 0.016) — the folded kernels' Mosaic lowering is sound,
+# so auto dispatch may select them.
+_FOLD_ON_CHIP_VERIFIED = True
 
 _FOLD_MODE = "auto"   # "auto" | "on" | "off" — see set_fold_pallas
 
@@ -1206,9 +1207,11 @@ def train_conv3d_eligible(x_shape, cout) -> bool:
 # fills the lanes and the differentiated XLA conv starves the MXU. Same
 # custom-VJP structure as conv3d_ndhwc_fast: Pallas fwd + Pallas
 # grad-input (flipped kernel, channels swapped), XLA conv-backward-filter
-# for grad-weight. Off by default pending an on-chip A/B against the
-# dfold XLA layout (the full-lane train path lost that A/B; these shapes
-# run XLA 3-5x slower, so the verdict may differ — measure first).
+# for grad-weight. Off by default: the on-chip A/B
+# (scripts/bench_train_fold.py, 2026-08-18, full-res bf16+remat step)
+# measured it LOSING at B=1 (497.8 vs 471.3 ms) and adding nothing on top
+# of the strided paths at B=2 (284.8 vs 284.6 ms/example) — XLA's fused
+# dfold form wins once the backward's extra transposes are counted.
 _TRAIN_FOLD = False
 
 
@@ -1281,12 +1284,13 @@ def train_fold_eligible(x_shape, cout, itemsize: int = 2) -> bool:
 #     stride-2 band conv of the cotangent with kernel_t itself.
 # Grad-weight uses jax.vjp of the equivalent XLA conv (exactly the
 # conv-backward-filter program autodiff would emit — zero derivation risk).
-# Off by default pending the on-chip A/B (scripts/bench_train_fold.py):
-# the full-lane stride-1 train path lost its A/B to XLA fusion, but the
-# strided ops run XLA at 3-8 TF/s where the kernels measure 25-65.
+# ON by default: the on-chip A/B (scripts/bench_train_fold.py, 2026-08-18,
+# full-res bf16+remat train step) measured 471.3 -> 432.0 ms at B=1 and
+# 319.3 -> 284.6 ms/example at B=2 (-11%) with only the strided paths
+# flipped — unlike the full-lane stride-1 path, which lost to XLA fusion.
 # ---------------------------------------------------------------------------
 
-_TRAIN_STRIDED = False
+_TRAIN_STRIDED = True
 
 
 def set_conv3d_train_strided(enabled: bool):

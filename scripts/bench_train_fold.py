@@ -21,6 +21,8 @@ def measure(jax, jnp, b, fold, strided=False):
   from mode_tpu.ops.pallas.conv3d_kernel import (set_conv3d_train_fold,
                                                  set_conv3d_train_strided)
 
+  from mode_tpu.ops.pallas import conv3d_kernel as ck
+  prev = (ck._TRAIN_FOLD, ck._TRAIN_STRIDED)
   set_conv3d_train_fold(fold)
   set_conv3d_train_strided(strided)
   try:
@@ -48,8 +50,8 @@ def measure(jax, jnp, b, fold, strided=False):
       times.append(time.time() - t0)
     return float(np.median(times))
   finally:
-    set_conv3d_train_fold(False)
-    set_conv3d_train_strided(False)
+    set_conv3d_train_fold(prev[0])
+    set_conv3d_train_strided(prev[1])
 
 
 def main():

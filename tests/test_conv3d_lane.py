@@ -304,6 +304,7 @@ def test_conv3d_s2_fast_grads(interpret_pallas):
   cot = jax.random.normal(k3, (b, d // 2, h // 2, w // 2, cout), jnp.float32)
 
   ck.set_conv3d_pallas("on")
+  prev_strided = ck._TRAIN_STRIDED
   ck.set_conv3d_train_strided(True)
   try:
     assert ck.train_s2_eligible((b, d, h, w, c), cout, 4)
@@ -329,7 +330,7 @@ def test_conv3d_s2_fast_grads(interpret_pallas):
                                rtol=1e-4, atol=1e-4)
   finally:
     ck.set_conv3d_pallas("auto")
-    ck.set_conv3d_train_strided(False)
+    ck.set_conv3d_train_strided(prev_strided)
 
 
 def test_convtranspose3d_fast_grads(interpret_pallas):
@@ -344,6 +345,7 @@ def test_convtranspose3d_fast_grads(interpret_pallas):
   cot = jax.random.normal(k3, (b, 2 * d, 2 * h, 2 * w, cout), jnp.float32)
 
   ck.set_conv3d_pallas("on")
+  prev_strided = ck._TRAIN_STRIDED
   ck.set_conv3d_train_strided(True)
   try:
     assert ck.train_deconv_eligible((b, d, h, w, c), cout, 4)
@@ -370,7 +372,7 @@ def test_convtranspose3d_fast_grads(interpret_pallas):
                                rtol=1e-4, atol=1e-4)
   finally:
     ck.set_conv3d_pallas("auto")
-    ck.set_conv3d_train_strided(False)
+    ck.set_conv3d_train_strided(prev_strided)
 
 
 def test_conv3d_custom_vjp_grads(interpret_pallas):
