@@ -171,6 +171,10 @@ def _jit_with_mesh(step_fn, mesh):
     with mesh, pmesh.activate(mesh):
       return jitted(state, *args)
 
+  # AOT access (scripts/aot_topology_compile.py): .lower() must trace inside
+  # the same mesh contexts, so expose the underlying jitted step
+  wrapped.jitted = jitted
+  wrapped.mesh = mesh
   return wrapped
 
 
