@@ -5,9 +5,17 @@ One "frame" = the reference's full production unit of work
 (``save_output_disparity_stage.py`` + ``test_fusion.py``): 6 stereo pairs
 through ModeDisparity (1024×512 Cassini, maxdisp 192, confidence on), the 6
 disparity→depth SE(3) re-projections, and ModeFusion — all as one XLA
-program on one TPU chip. Also measured: one full-resolution B=1 stage-1
-training step (bf16 + remat) and model-FLOPs utilization for both, from
-XLA's own cost analysis against the chip's bf16 peak.
+program on one TPU chip. Also measured: full-resolution B=1/B=2 stage-1
+training steps (bf16 + remat), IO-inclusive epoch throughput for both
+stages, and model-FLOPs utilization from the closed-form analytic conv-MAC
+count (mode_tpu/utils/flops.py) against the chip's bf16 peak.
+
+MFU convention note (round 4): the numerator switched from XLA's
+cost_analysis (which mixes kernel-declared CostEstimates — dense-GEMM
+convention — with XLA's useful-MAC convention, and misses the strided
+custom-VJP train kernels entirely) to the analytic useful-MAC count.
+Round-3's 17.32% pipeline MFU at 3.19 fps reads 15.74% in this convention
+— same speed, honest single-convention numerator.
 
 Baseline (``vs_baseline`` denominator): the reference publishes no
 throughput numbers (BASELINE.md). We use an estimated 0.21 frames/s for the
@@ -33,16 +41,12 @@ def _mark(msg):
 REFERENCE_FPS_ESTIMATE = 0.21
 PEAK_BF16_TFLOPS = 197.0   # TPU v5e per-chip bf16 peak
 
-
-def _flops_of(jitted, *args):
-  """Analytic model FLOPs from XLA's cost analysis (None if unavailable)."""
-  try:
-    cost = jitted.lower(*args).compile().cost_analysis()
-    if isinstance(cost, (list, tuple)):
-      cost = cost[0]
-    return float(cost["flops"])
-  except Exception:
-    return None
+# MFU numerators are closed-form analytic conv-MAC counts
+# (mode_tpu/utils/flops.py, pinned to XLA's cost analysis on the all-XLA
+# config by tests/test_flops.py). XLA's own cost_analysis is only a floor
+# here: the Pallas custom calls (sphere conv, conv3d band family, fused
+# regression) hide their FLOPs from it. The XLA numbers are still reported
+# as *_tflops_xla for cross-checking.
 
 
 def bench_pipeline(jax, jnp):
@@ -92,21 +96,20 @@ def bench_pipeline(jax, jnp):
   _ = np.asarray(depth)
   _mark("pipeline compile done")
 
-  n = 9
+  n = 12
   times = []
   for it in range(n):
     t0 = time.time()
     depth, _, _ = pipe(*staged[it % len(staged)])
     _ = np.asarray(depth[::64, ::64])
     times.append(time.time() - t0)
-  med = float(np.median(times))
 
-  flops = None
+  xla_flops = None
   try:
-    flops = pipe.cost_analysis_flops()
+    xla_flops = pipe.cost_analysis_flops()
   except Exception:
     pass
-  return med, flops
+  return times, xla_flops
 
 
 def bench_train_step(jax, jnp, b=1):
@@ -151,12 +154,51 @@ def bench_train_step(jax, jnp, b=1):
   _ = float(loss)
   _mark("train-step compile done")
   times = []
-  for _i in range(3):
+  for _i in range(5):
     t0 = time.time()
     state, loss = run(state, *batch)
     _ = float(loss)                       # host readback = sync point
     times.append(time.time() - t0)
   return float(np.median(times)), flops
+
+
+def bench_epoch_io():
+  """IO-inclusive epoch throughput (scripts/bench_epoch.py) in a bounded
+  subprocess: file lister -> native decode -> prefetch loader -> H2D ->
+  train step. The reference's only throughput observable is epoch
+  wall-clock (train_disparity.py:234, train_fusion.py:201) — ingest
+  included by definition — so the driver-visible JSON regresses it too."""
+  import os
+  import subprocess
+  here = os.path.dirname(os.path.abspath(__file__))
+  out = {}
+  for stage, key, args in (
+      ("disparity", "train_epoch_frames_per_sec_io",
+       ["--frames", "8", "--batch", "1"]),
+      ("fusion", "fusion_epoch_frames_per_sec_io", ["--stage", "fusion",
+                                                    "--frames", "8"])):
+    try:
+      _mark(f"epoch bench ({stage}) start")
+      proc = subprocess.run(
+          [sys.executable, os.path.join(here, "scripts", "bench_epoch.py")]
+          + args, capture_output=True, text=True, timeout=1500)
+      rec = None
+      for line in proc.stdout.strip().splitlines():
+        try:
+          cand = json.loads(line)
+        except ValueError:
+          continue
+        if "value" in cand:
+          rec = cand
+      if rec:
+        out[key] = rec["value"]
+        if "io_overhead_pct" in rec:
+          out[key.replace("frames_per_sec_io", "io_overhead_pct")] = (
+              rec["io_overhead_pct"])
+      _mark(f"epoch bench ({stage}) done: {out.get(key)}")
+    except Exception as e:
+      _mark(f"epoch bench ({stage}) failed: {e}")
+  return out
 
 
 def main():
@@ -188,24 +230,41 @@ def main():
   except Exception:
     pass
 
-  pipe_s, pipe_flops = bench_pipeline(jax, jnp)
-  fps = 1.0 / pipe_s
-  train_s, train_flops = bench_train_step(jax, jnp, b=1)
-  train2_s, train2_flops = bench_train_step(jax, jnp, b=2)
+  from mode_tpu.utils.flops import disparity_flops, pipeline_flops
 
-  extras = {"train_step_s": round(train_s, 4),
-            "train_b2_ms_per_example": round(train2_s / 2 * 1e3, 1)}
-  if pipe_flops:
-    extras["pipeline_mfu_pct"] = round(
-        100.0 * pipe_flops / pipe_s / (PEAK_BF16_TFLOPS * 1e12), 2)
-    extras["pipeline_tflops"] = round(pipe_flops / 1e12, 3)
-  if train_flops:
-    extras["train_mfu_pct"] = round(
-        100.0 * train_flops / train_s / (PEAK_BF16_TFLOPS * 1e12), 2)
-    extras["train_tflops"] = round(train_flops / 1e12, 3)
-  if train2_flops:
-    extras["train_b2_mfu_pct"] = round(
-        100.0 * train2_flops / train2_s / (PEAK_BF16_TFLOPS * 1e12), 2)
+  pipe_times, pipe_xla_flops = bench_pipeline(jax, jnp)
+  pipe_s = float(np.median(pipe_times))
+  fps = 1.0 / pipe_s
+  train_s, train_xla_flops = bench_train_step(jax, jnp, b=1)
+  train2_s, train2_xla_flops = bench_train_step(jax, jnp, b=2)
+
+  peak = PEAK_BF16_TFLOPS * 1e12
+  pipe_flops = pipeline_flops(1024, 512, 192)
+  train_flops = disparity_flops(1, 1024, 512, 192)["train"]
+  train2_flops = disparity_flops(2, 1024, 512, 192)["train"]
+
+  extras = {
+      # run-to-run spread of the pipeline iterations (the builder-session vs
+      # driver-run discrepancy in round 3 was inside this spread)
+      "pipeline_s_min": round(float(np.min(pipe_times)), 4),
+      "pipeline_s_stddev": round(float(np.std(pipe_times)), 4),
+      "pipeline_iters": len(pipe_times),
+      "train_step_s": round(train_s, 4),
+      "train_b2_ms_per_example": round(train2_s / 2 * 1e3, 1),
+      # analytic-FLOPs MFU (conv MACs; see mode_tpu/utils/flops.py)
+      "pipeline_mfu_pct": round(100.0 * pipe_flops / pipe_s / peak, 2),
+      "pipeline_tflops": round(pipe_flops / 1e12, 3),
+      "train_mfu_pct": round(100.0 * train_flops / train_s / peak, 2),
+      "train_tflops": round(train_flops / 1e12, 3),
+      "train_b2_mfu_pct": round(100.0 * train2_flops / train2_s / peak, 2),
+  }
+  if pipe_xla_flops:
+    extras["pipeline_tflops_xla"] = round(pipe_xla_flops / 1e12, 3)
+  if train_xla_flops:
+    extras["train_tflops_xla"] = round(train_xla_flops / 1e12, 3)
+
+  epoch = bench_epoch_io()
+  extras.update(epoch)
 
   print(json.dumps({
       "metric": "two_stage_pipeline_frames_per_sec_per_chip",
