@@ -140,6 +140,42 @@ class Deep360DatasetFusion:
   def __len__(self):
     return len(self.depths[0])
 
+  def get_batch(self, indices, threads: int = 8):
+    """Native fast path: one frame is 12 PNGs + 7 NPZs — the worst ingest
+    in the system per-item; batch all of them through libmodeio's thread
+    pool. Falls back to the per-item Python path (return None) when the
+    library is unavailable or ``resize`` is on."""
+    from mode_tpu.data import native_io
+    if self.resize or not native_io.available():
+      return None
+    if getattr(self, "_native_shape", None) is None:
+      self._native_shape = load_npz(self.depths[0][indices[0]]).shape
+    h, w = self._native_shape
+    b = len(indices)
+    try:
+      depths = native_io.read_npz_batch(
+          [self.depths[k][i] for i in indices for k in range(6)], (h, w),
+          threads).reshape(b, 6, h, w, 1)
+      confs = native_io.decode_rgb_batch_u8(
+          [self.confs[k][i] for i in indices for k in range(6)], h, w,
+          threads)
+      confs = (confs[..., :1].astype(np.float32) / 255.0).reshape(
+          b, 6, h, w, 1)
+      rgbs = native_io.decode_rgb_batch_normalized(
+          [self.rgbs[k][i] for i in indices for k in range(4)], h, w,
+          threads).reshape(b, 4, h, w, 3)
+      gt = native_io.read_npz_batch([self.gt[i] for i in indices], (h, w),
+                                    threads)
+    except IOError:
+      return None
+    return {
+        "gtNames": [self.gt[i] for i in indices],
+        "depths": depths,
+        "confs": confs,
+        "rgbs": rgbs,
+        "gt": gt,
+    }
+
   def __getitem__(self, index: int) -> dict:
     depths = [depth_to_tensor(load_npz(d[index])) for d in self.depths]
     confs = [load_conf(c[index]) for c in self.confs]

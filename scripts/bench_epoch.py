@@ -37,6 +37,8 @@ os.environ.setdefault(
 
 def main():
   ap = argparse.ArgumentParser()
+  ap.add_argument("--stage", choices=("disparity", "fusion"),
+                  default="disparity")
   ap.add_argument("--frames", type=int, default=12,
                   help="synthetic frames per subset (x6 pairs = samples)")
   ap.add_argument("--batch", type=int, default=1)
@@ -47,6 +49,9 @@ def main():
   ap.add_argument("--height", type=int, default=1024)
   ap.add_argument("--width", type=int, default=512)
   args = ap.parse_args()
+
+  if args.stage == "fusion":
+    return main_fusion(args)
 
   import jax
   import jax.numpy as jnp
@@ -134,6 +139,100 @@ def main():
       "loss_finite": bool(np.isfinite(losses).all()),
   }
   print(json.dumps(rec), flush=True)
+
+
+def main_fusion(args):
+  """Stage-2 epoch throughput with IO: the fusion ingest is the worst in
+  the system — 12 PNGs + 7 NPZs per frame (6 depth npz + 6 conf png +
+  4 rgb png + gt npz) — served by Deep360DatasetFusion.get_batch through
+  libmodeio's thread pool. Reference observable: train_fusion.py:201."""
+  import jax
+  import jax.numpy as jnp
+
+  from mode_tpu import training
+  from mode_tpu.data.deep360 import Deep360DatasetFusion
+  from mode_tpu.data.file_lists import list_deep360_fusion_train
+  from mode_tpu.data.loader import DataLoader
+  from mode_tpu.models.fusion import ModeFusion
+  from tests.synth_data import make_deep360_tree, make_fusion_inputs
+
+  root = os.path.join(tempfile.gettempdir(), "mode_epoch_bench",
+                      f"fusion_{args.height}x{args.width}_{args.frames}")
+  ds_root = os.path.join(root, "dataset")
+  in_root = os.path.join(root, "inputs")
+  marker = os.path.join(root, ".complete")
+  if not os.path.exists(marker):
+    print(json.dumps({"info": "generating synthetic fusion trees",
+                      "root": root}), flush=True)
+    make_deep360_tree(ds_root, episodes=("ep1_bench",),
+                      frames_per_subset=args.frames, h=args.height,
+                      w=args.width, subsets=("training",))
+    make_deep360_tree(ds_root, episodes=("ep1_bench",), frames_per_subset=1,
+                      h=args.height, w=args.width, subsets=("validation",))
+    make_fusion_inputs(in_root, ds_root)
+    open(marker, "w").close()
+
+  td, tc, tr, tg, *_ = list_deep360_fusion_train(in_root, ds_root,
+                                                 soiled=False)
+  ds = Deep360DatasetFusion(td, tc, tr, tg, resize=False, training=True)
+  loader = DataLoader(ds, batch_size=args.batch, shuffle=True,
+                      num_workers=8, drop_last=True, prefetch=3)
+  print(json.dumps({"info": "dataset ready", "samples": len(ds)}),
+        flush=True)
+
+  model = ModeFusion(max_depth=1000.0)
+  opt = training.make_optimizer()
+  mk1 = lambda: np.zeros((args.batch, args.height, args.width, 1),
+                         np.float32)
+  mk3 = lambda: np.zeros((args.batch, args.height, args.width, 3),
+                         np.float32)
+  d0, c0, r0 = [mk1() for _ in range(6)], [mk1() for _ in range(6)], \
+      [mk3() for _ in range(4)]
+  state = training.init_state(model, opt, jax.random.PRNGKey(0), d0, c0,
+                              r0, train=False)
+  step = training.make_fusion_train_step(model, opt, 1000.0, mesh=None,
+                                         compute_dtype=jnp.bfloat16)
+
+  def unpack(batch):
+    return ([jax.device_put(batch["depths"][:, k]) for k in range(6)],
+            [jax.device_put(batch["confs"][:, k]) for k in range(6)],
+            [jax.device_put(batch["rgbs"][:, k]) for k in range(4)],
+            jax.device_put(batch["gt"]))
+
+  warm = unpack(next(iter(loader)))
+  t0 = time.time()
+  state, loss = step(state, *warm)
+  _ = float(loss)
+  print(json.dumps({"info": "compiled", "warm_s": round(time.time() - t0, 1),
+                    "loss": float(loss)}), flush=True)
+  t0 = time.time()
+  state, loss = step(state, *warm)
+  _ = float(loss)
+  step_s = time.time() - t0
+
+  t0 = time.time()
+  n_frames = 0
+  losses = []
+  for i, batch in enumerate(loader):
+    if args.steps is not None and i >= args.steps:
+      break
+    state, loss = step(state, *unpack(batch))
+    losses.append(loss)
+    n_frames += batch["gt"].shape[0]
+  losses = [float(l) for l in losses]
+  wall = time.time() - t0
+
+  fps = n_frames / wall
+  compute_fps = args.batch / step_s
+  print(json.dumps({
+      "metric": "fusion_epoch_frames_per_s", "value": round(fps, 3),
+      "unit": "frames/s", "frames": n_frames, "wall_s": round(wall, 1),
+      "compute_only_frames_per_s": round(compute_fps, 3),
+      "io_overhead_pct": round(100.0 * (compute_fps - fps) /
+                               max(compute_fps, 1e-9), 1),
+      "batch": args.batch,
+      "loss_finite": bool(np.isfinite(losses).all()),
+  }), flush=True)
 
 
 if __name__ == "__main__":

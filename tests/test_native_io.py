@@ -95,3 +95,38 @@ def test_error_paths(tmp_path):
   bad.write_bytes(b"not a png")
   with pytest.raises(IOError):
     native_io.decode_png(str(bad))
+
+
+def test_fusion_get_batch_matches_items(tmp_path):
+  """Deep360DatasetFusion.get_batch (batched native 12-PNG + 7-NPZ ingest)
+  == stacked per-item PIL/numpy decodes."""
+  from mode_tpu.data.deep360 import Deep360DatasetFusion
+  from mode_tpu.data.file_lists import list_deep360_fusion_train
+  from tests.synth_data import make_deep360_tree, make_fusion_inputs
+
+  ds_root = str(tmp_path / "dataset")
+  in_root = str(tmp_path / "inputs")
+  make_deep360_tree(ds_root, episodes=("ep1_t",), frames_per_subset=3,
+                    h=32, w=16, subsets=("training", "validation"))
+  make_fusion_inputs(in_root, ds_root)
+  td, tc, tr, tg, *_ = list_deep360_fusion_train(in_root, ds_root)
+  ds = Deep360DatasetFusion(td, tc, tr, tg, resize=False, training=True)
+
+  indices = [2, 0]
+  batch = ds.get_batch(indices, threads=2)
+  assert batch is not None, "native fusion ingest did not engage"
+  for b, i in enumerate(indices):
+    item = ds[i]
+    assert batch["gtNames"][b] == item["gtNames"]
+    np.testing.assert_allclose(batch["depths"][b], item["depths"],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(batch["confs"][b], item["confs"],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(batch["rgbs"][b], item["rgbs"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(batch["gt"][b], item["gt"],
+                               rtol=1e-6, atol=1e-6)
+
+  # resize mode must fall back to the per-item path
+  ds_r = Deep360DatasetFusion(td, tc, tr, tg, resize=True, training=True)
+  assert ds_r.get_batch(indices) is None
