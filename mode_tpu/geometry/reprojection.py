@@ -231,6 +231,75 @@ def _zbuffer_resolve(r2f: jnp.ndarray, tgt: jnp.ndarray, n: int
   return best, winner
 
 
+def depth_view_transforms_batched(depths: jnp.ndarray, confs: jnp.ndarray,
+                                  transforms: tuple
+                                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+  """Re-project K Cassini depth+confidence maps in ONE z-buffer sort.
+
+  Elementwise bit-exact to K calls of
+  :func:`depth_view_transform_with_conf`: each pair's target pixels are
+  offset by ``k*h*w`` so the K collision problems occupy disjoint key
+  ranges of a single stable sort — runs never mix across pairs and the
+  within-pair source order (the serial loop's first-come tie-break) is
+  preserved.
+
+  NOT used by the fused pipeline: measured SLOWER than K per-pair sorts on
+  a v5e chip (32.1 vs 27.8 ms for the 3-pair 1024×512 bridge,
+  ``scripts/bench_zbuffer.py`` 2026-08-19) — TPU sort cost grows
+  ~n·log²(n), so one 6n-element sort costs more than three 2n sorts and
+  there is no per-sort launch latency to amortize. Kept as the measured
+  negative result + for callers whose K problems are each too small to
+  fill the chip.
+
+  Args:
+    depths / confs: ``(K, H, W)``.
+    transforms: K tuples ``(y0, z0, x0, pitch, yaw, roll)`` (the
+      reference's argument order, ``geometry.py:94``).
+  """
+  k_n, h, w = depths.shape
+  rays, rots, trs = [], [], []
+  for y0, z0, x0, pitch, yaw, roll in transforms:
+    ray, r, t = _view_transform_consts(h, w, float(y0), float(z0), float(x0),
+                                       float(pitch), float(yaw), float(roll))
+    rays.append(ray)
+    rots.append(r)
+    trs.append(t)
+  ray = jnp.asarray(np.stack(rays))               # (K, h, w, 3)
+  r = jnp.asarray(np.stack(rots))                 # (K, 3, 3)
+  t = jnp.asarray(np.stack(trs))                  # (K, 3)
+
+  x1 = depths[..., None] * ray                    # (K, h, w, 3)
+  d = x1 - t[:, None, None, :]
+  # elementwise 3x3 rotation (exact f32 on the VPU — see the single-pair
+  # version for why this must not become an MXU matmul)
+  x2 = jnp.sum(d[..., None, :] * r[:, None, None, :, :], axis=-1)
+  r2 = jnp.sqrt(jnp.sum(x2 * x2, axis=-1))
+  r2_safe = jnp.where(r2 > 0, r2, 1.0)
+  theta2 = jnp.arctan2(x2[..., 1], x2[..., 2])
+  phi2 = jnp.arcsin(jnp.clip(x2[..., 0] / r2_safe, -1.0, 1.0))
+
+  ti = jnp.clip(jnp.round(h / 2 - h * theta2 / (2 * np.pi)),
+                0, h - 1).astype(jnp.int32)
+  tj = jnp.clip(jnp.round(w / 2 - w * phi2 / np.pi), 0, w - 1).astype(jnp.int32)
+  n = h * w
+  offs = (jnp.arange(k_n, dtype=jnp.int32) * n)[:, None, None]
+  tgt = (offs + ti * w + tj).reshape(-1)          # disjoint ranges per pair
+
+  valid = (depths > 0).reshape(-1)
+  r2f = jnp.where(valid, r2.reshape(-1), jnp.inf)
+
+  best, winner = _zbuffer_resolve(r2f, tgt, k_n * n)
+  has_winner = (winner < k_n * n) & (best < _SENTINEL)
+  conf_out = jnp.where(
+      has_winner,
+      jnp.take(confs.reshape(-1), jnp.clip(winner, 0, k_n * n - 1)),
+      0.0)
+
+  view_out = jnp.where(best >= _SENTINEL, 0.0, best)
+  view_out = jnp.where(view_out > _MAX_DEPTH_CLIP, _MAX_DEPTH_CLIP, view_out)
+  return view_out.reshape(k_n, h, w), conf_out.reshape(k_n, h, w)
+
+
 def disp_to_depth_at_cam1(disp: jnp.ndarray, conf: jnp.ndarray,
                           cam_pair: str,
                           baselines: dict | None = None

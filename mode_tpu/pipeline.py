@@ -53,6 +53,12 @@ def bridge_all_pairs(disps: jnp.ndarray, confs: jnp.ndarray
   Returns: (6, H, W) depths and confidences at camera 1.
   (Parity: ``save_output_disparity_stage.py:105-160``.)
   """
+  # The three "trans" pairs run separate z-buffer sorts ON PURPOSE: fusing
+  # them into one offset-keyed sort is bit-exact but measured SLOWER on-chip
+  # (32.1 vs 27.8 ms/frame — TPU sort cost scales with n·log²n, there is no
+  # per-sort launch latency to amortize; scripts/bench_zbuffer.py,
+  # docs/PROFILES.md round-4 note, depth_view_transforms_batched keeps the
+  # measured form).
   out_d, out_c = [], []
   for k, pair in enumerate(CAM_PAIRS):
     depth_l = cassini_disp_to_depth(disps[k], DEEP360_BASELINES[pair])

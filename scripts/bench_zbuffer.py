@@ -77,6 +77,52 @@ def main():
                     round(results["scatter"][0] / results["sort"][0], 3),
                     "outputs_agree": bool(agree)}), flush=True)
 
+  # --- batched (one sort for all 3 trans pairs, the round-4 bridge form) ---
+  params = tuple(rp.DEEP360_PAIR_TRANSFORMS[p][1] for p in ("23", "24", "34"))
+  depths3 = jnp.stack([d_dev, d_dev * 1.1, d_dev * 0.9])
+  confs3 = jnp.stack([c_dev, c_dev, c_dev])
+
+  @jax.jit
+  def run3(ds, cs):
+    tot_v = 0.0
+    tot_c = 0.0
+    for i in range(ITERS):
+      v, cc = rp.depth_view_transforms_batched(ds + i * 1e-6, cs, params)
+      tot_v = tot_v + jnp.sum(v)
+      tot_c = tot_c + jnp.sum(cc)
+    return tot_v, tot_c
+
+  @jax.jit
+  def run3_percall(ds, cs):
+    tot_v = 0.0
+    tot_c = 0.0
+    for i in range(ITERS):
+      for k in range(3):
+        v, cc = rp.depth_view_transform_with_conf(ds[k] + i * 1e-6, cs[k],
+                                                  *params[k])
+        tot_v = tot_v + jnp.sum(v)
+        tot_c = tot_c + jnp.sum(cc)
+    return tot_v, tot_c
+
+  outs = {}
+  for name, fn in (("batched_3pair", run3), ("percall_3pair", run3_percall)):
+    v, c = fn(depths3, confs3)
+    np.asarray(v), np.asarray(c)
+    t0 = time.time()
+    v, c = fn(depths3, confs3)
+    sv, sc = float(np.asarray(v)), float(np.asarray(c))
+    ms = (time.time() - t0) / ITERS * 1e3
+    outs[name] = (ms, sv, sc)
+    print(json.dumps({"impl": name, "ms_per_frame": round(ms, 3),
+                      "sum_view": sv, "sum_conf": sc}), flush=True)
+  agree3 = all(
+      abs(outs["batched_3pair"][i] - outs["percall_3pair"][i])
+      <= 1e-6 * abs(outs["percall_3pair"][i]) + 1.0 for i in (1, 2))
+  print(json.dumps({"speedup_batched_vs_percall":
+                    round(outs["percall_3pair"][0] /
+                          outs["batched_3pair"][0], 3),
+                    "outputs_agree": bool(agree3)}), flush=True)
+
 
 if __name__ == "__main__":
   main()

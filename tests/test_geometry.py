@@ -227,6 +227,25 @@ def test_zbuffer_sort_impl_bit_exact(rng):
   assert np.array_equal(c0, c1)
 
 
+def test_batched_view_transforms_bit_exact(rng):
+  """One-sort batched re-projection == K per-pair calls, bit for bit.
+  (The pipeline ships the per-pair form — the fused sort measured slower
+  on-chip; see docs/PROFILES.md round-4 note.)"""
+  from mode_tpu.geometry.reprojection import (DEEP360_PAIR_TRANSFORMS,
+                                              depth_view_transforms_batched)
+  h, w = 40, 20
+  params = tuple(DEEP360_PAIR_TRANSFORMS[p][1] for p in ("23", "24", "34"))
+  depths = np.abs(rng.normal(3.0, 4.0, size=(3, h, w))).astype(np.float32)
+  depths[rng.random(size=(3, h, w)) < 0.15] = 0.0
+  depths[rng.random(size=(3, h, w)) < 0.05] = 150000.0
+  confs = rng.uniform(0, 1, size=(3, h, w)).astype(np.float32)
+  bd, bc = depth_view_transforms_batched(depths, confs, params)
+  for k in range(3):
+    v, c = depth_view_transform_with_conf(depths[k], confs[k], *params[k])
+    assert np.array_equal(np.asarray(bd[k]), np.asarray(v)), f"pair {k}"
+    assert np.array_equal(np.asarray(bc[k]), np.asarray(c)), f"pair {k}"
+
+
 @pytest.mark.parametrize("pair", ["12", "13", "14", "23", "24", "34"])
 def test_bridge_all_pairs_run(rng, pair):
   disp = rng.uniform(0, 30, size=(32, 16)).astype(np.float32)
