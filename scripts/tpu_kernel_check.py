@@ -458,6 +458,85 @@ def main():
     print(json.dumps({"check": "e2e_bf16_drift_1024x512", "pass": False,
                       "error": repr(e)[:200]}), flush=True)
 
+  # --- e2e PATH parity: full Pallas path vs all-XLA path, trained weights --
+  # The bf16 drift gate above measures dtype drift; these compare the two
+  # dispatch paths at the SAME dtype, so any difference is kernel math.
+  #  * 512x256 / maxdisp 48, f32 both sides: the smallest production-family
+  #    shape where the sphere kernel is f32-eligible. Same trained weights
+  #    as the committed torch<->JAX mid-res pin (tests/
+  #    test_trained_parity_midres.py), so together they close the chain
+  #    torch -> JAX-XLA -> JAX-Pallas with no shape gap.
+  #  * 1024x512 / maxdisp 192, bf16 both sides: every production gate live
+  #    (lane mid-section, stride-2/deconv/fold kernels, fused regression).
+  import importlib
+  _sph = importlib.import_module("mode_tpu.ops.sphere_conv")
+  from mode_tpu.models.disparity import set_fused_regression
+  from mode_tpu.ops.pallas.conv3d_kernel import set_conv3d_pallas
+
+  def _paths_onoff(jmodel, variables, left, right):
+    """(pallas_out, xla_out) of the eval forward at identical inputs."""
+    run = jax.jit(lambda v, l, r: jmodel.apply(v, l, r, train=False))
+    try:
+      _sph.set_pallas_mode("auto")
+      set_conv3d_pallas("auto")
+      set_fused_regression("auto")
+      got = np.asarray(run(variables, left, right))
+      _sph.set_pallas_mode("off")
+      set_conv3d_pallas("off")
+      set_fused_regression("off")
+      run_off = jax.jit(
+          lambda v, l, r: jmodel.apply(v, l, r, train=False))
+      ref = np.asarray(run_off(variables, left, right))
+    finally:
+      _sph.set_pallas_mode("auto")
+      set_conv3d_pallas("auto")
+      set_fused_regression("auto")
+    return got, ref
+
+  for tag, (h, w, maxdisp), dtype, bound_frac, art in (
+      ("path_parity_512x256_f32", (512, 256, 48), jnp.float32, 5e-5, "mid"),
+      ("path_parity_1024x512_bf16", (1024, 512, 192), jnp.bfloat16, 0.0015,
+       "full"),
+  ):
+    try:
+      from tests.trained_mirror import (get_trained_state_dict,
+                                        get_trained_state_dict_mid)
+      from mode_tpu.models.disparity import ModeDisparity
+      from mode_tpu.utils.torch_convert import convert_state_dict
+      from mode_tpu.training import cast_conv_params
+
+      jmodel = ModeDisparity(maxdisp=maxdisp, out_conf=False)
+      tiny = jnp.zeros((1, 64, 32, 3), jnp.float32)
+      variables = jax.jit(
+          lambda: jmodel.init(jax.random.PRNGKey(0), tiny, tiny,
+                              train=False))()
+      sd = (get_trained_state_dict_mid() if art == "mid"
+            else get_trained_state_dict())
+      variables = jax.device_put(convert_state_dict(sd, variables))
+      shift = maxdisp // 3
+      fine = rng.normal(size=(1, h // 2, w // 2, 3)).astype(np.float32)
+      left_np = np.kron(fine, np.ones((1, 2, 2, 1), np.float32))
+      right_np = np.roll(left_np, -shift, axis=2)
+      if dtype == jnp.bfloat16:
+        variables = {"params": cast_conv_params(variables["params"], dtype),
+                     "batch_stats": variables["batch_stats"]}
+      left = jnp.asarray(left_np, dtype)
+      right = jnp.asarray(right_np, dtype)
+      got, ref = _paths_onoff(jmodel, variables, left, right)
+      mae = float(np.abs(got - ref).mean())
+      bound = bound_frac * maxdisp
+      passed = bool(np.isfinite(got).all() and np.isfinite(ref).all()
+                    and mae <= bound)
+      ok = ok and passed
+      rec = {"check": f"e2e_{tag}", "mae_px": round(mae, 6),
+             "bound_px": round(bound, 5), "pass": passed}
+      results.append(rec)
+      print(json.dumps(rec), flush=True)
+    except Exception as e:                                # pragma: no cover
+      ok = False
+      print(json.dumps({"check": f"e2e_{tag}", "pass": False,
+                        "error": repr(e)[:200]}), flush=True)
+
   print(json.dumps({"ok": ok, "n_checks": len(results)}), flush=True)
   return 0 if ok else 1
 
