@@ -528,7 +528,7 @@ def main():
       passed = bool(np.isfinite(got).all() and np.isfinite(ref).all()
                     and mae <= bound)
       ok = ok and passed
-      rec = {"check": f"e2e_{tag}", "mae_px": round(mae, 6),
+      rec = {"check": f"e2e_{tag}", "mae_px": float(f"{mae:.3g}"),
              "bound_px": round(bound, 5), "pass": passed}
       results.append(rec)
       print(json.dumps(rec), flush=True)
