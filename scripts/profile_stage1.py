@@ -184,6 +184,19 @@ def main():
            lambda v, l, r: model.apply(v, l, r, train=False)[0], mv16, x, x,
            iters=3)
 
+  # --- two frames per program (B=12): does serving-side frame batching
+  # amortize the mid-section like train B=1->2 did? ---
+  if want("full_b12"):
+    model = ModeDisparity(maxdisp=MAXD, out_conf=True)
+    mv = jax.jit(lambda: model.init(key, x.astype(jnp.float32)[:1],
+                                    x.astype(jnp.float32)[:1], train=False))()
+    from mode_tpu.training import cast_conv_params
+    mv16 = cast_conv_params(mv, DTYPE)
+    x12 = jnp.concatenate([x, x * 0.9], axis=0)
+    timeit("stage1_full_b12_2frames",
+           lambda v, l, r: model.apply(v, l, r, train=False)[0], mv16, x12,
+           x12, iters=3)
+
 
 if __name__ == "__main__":
   main()
