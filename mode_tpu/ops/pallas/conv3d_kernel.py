@@ -1085,12 +1085,40 @@ def set_fold_pallas(mode: str):
 # step runs WITHOUT a device mesh. The Pallas custom-call cannot be
 # partitioned by the SPMD partitioner, so sharded (multi-chip) training
 # keeps the XLA conv path.
-_TRAIN_PALLAS = False
+#
+# ON by default since round 4, gated to per-shard batch >= MIN_BATCH: the
+# full-step A/B (scripts/bench_train_s1.py, 2026-08-19, full-res bf16 +
+# remat + strided paths) measured the stride-1 custom-VJP band conv at
+# B=2 WINNING 294.9 -> 281.9 ms/example (-4.4%, the gain concentrated at
+# the 1/8 hourglass level) and at B=1 LOSING 439.4 -> 464.9 ms (+6%, the
+# round-3 result) — at B=1 the per-call lane transposes + lost BN/ReLU
+# fusion outweigh the GEMM win, at B>=2 the batched GEMMs amortize them.
+_TRAIN_PALLAS = True
+_TRAIN_PALLAS_MIN_BATCH = 2
+
+
+def set_conv3d_train_min_batch(n: int):
+  global _TRAIN_PALLAS_MIN_BATCH
+  _TRAIN_PALLAS_MIN_BATCH = int(n)
 
 
 def set_conv3d_train_pallas(enabled: bool):
   global _TRAIN_PALLAS
   _TRAIN_PALLAS = bool(enabled)
+
+
+# Scope for the stride-1 custom-VJP training conv: only shapes with at
+# least this many voxels (d*h*w) take the Pallas path when it is enabled.
+# The all-shapes experiment lost its round-3 A/B (0.56 vs 0.51 s at B=1) —
+# per-call lane transposes + lost BN/ReLU fusion outweigh the GEMM win at
+# the small levels; the full-volume convs (dres/classif, 48x256x128) are
+# where XLA's differentiated dfold runs far below the MXU.
+_TRAIN_PALLAS_MIN_VOXELS = 0
+
+
+def set_conv3d_train_scope(min_voxels: int = 0):
+  global _TRAIN_PALLAS_MIN_VOXELS
+  _TRAIN_PALLAS_MIN_VOXELS = int(min_voxels)
 
 
 def train_pallas_enabled() -> bool:
@@ -1194,6 +1222,10 @@ def train_conv3d_eligible(x_shape, cout) -> bool:
   if mesh is not None and mesh.size > 1:
     return False
   b, d, h, w, c = x_shape
+  if b < _TRAIN_PALLAS_MIN_BATCH:
+    return False
+  if d * h * w < _TRAIN_PALLAS_MIN_VOXELS:
+    return False
   la = lane_axis_for(x_shape)
   if la is None:
     return False

@@ -89,15 +89,18 @@ def make_disparity_train_step(model, optimizer,
   mixed-precision (bf16 activations/conv kernels, f32 master weights,
   f32 softmax/regression and loss)."""
 
-  # Pallas custom-VJP conv3d in training is OFF by default: measured 0.56 s
-  # vs 0.51 s for the XLA path at full-res B=1 — inside the differentiated
-  # graph XLA fuses BN/ReLU into its convs, and the unfused Pallas calls
-  # (plus per-call layout changes) cost more than their GEMMs save. The
-  # path stays available (tested by test_conv3d_custom_vjp_grads) for
-  # configs where it wins. It is only legal without a mesh: the SPMD
-  # partitioner cannot split the Pallas custom call.
-  from mode_tpu.ops.pallas.conv3d_kernel import set_conv3d_train_pallas
-  use_train_pallas = False
+  # Pallas custom-VJP conv3d in training: ON by default for per-shard
+  # batch >= 2 since round 4 (B=2 A/B: 294.9 -> 281.9 ms/example), OFF at
+  # B=1 where the per-call lane transposes + lost BN/ReLU fusion outweigh
+  # the GEMM win (439.4 -> 464.9 ms; scripts/bench_train_s1.py, policy in
+  # ops/pallas/conv3d_kernel.py:_TRAIN_PALLAS_MIN_BATCH). Only legal
+  # without a mesh: the SPMD partitioner cannot split the Pallas call.
+  from mode_tpu.ops.pallas.conv3d_kernel import (set_conv3d_train_pallas,
+                                                 train_pallas_enabled)
+  # captured at step-build time so A/B harnesses (scripts/bench_train_s1.py)
+  # can flip it with set_conv3d_train_pallas before building the step; the
+  # explicit set/reset bracket below keeps tracing deterministic either way
+  use_train_pallas = train_pallas_enabled()
 
   def step(state: TrainState, left, right, disp_gt):
     mask = ~jnp.isnan(disp_gt)
@@ -114,7 +117,9 @@ def make_disparity_train_step(model, optimizer,
             {"params": apply_params, "batch_stats": state.batch_stats},
             l, r, train=True, mutable=["batch_stats"])
       finally:
-        set_conv3d_train_pallas(False)
+        # restore the build-time value (NOT False: the global defaults on,
+        # and a hard reset would poison the next step builder's capture)
+        set_conv3d_train_pallas(use_train_pallas)
       loss = disparity_deep_supervision((p1, p2, p3), gt, mask)
       return loss, mut["batch_stats"]
 
