@@ -329,15 +329,35 @@ class Conv2dLane(nn.Module):
          if self.use_bias else None)
 
     if (tuple(self.kernel) == (3, 3) and tuple(self.stride) == (1, 1)
-        and tuple(self.pad) == (1, 1) and b is None
-        and lane_conv2d_ok(x.shape, self.features,
-                           jnp.dtype(x.dtype).itemsize,
-                           residual is not None)):
-      if cin % 8:
-        pc = -cin % 8
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, pc), (0, 0)))
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, pc), (0, 0)))
-      return conv2d_band_pallas(x, w, scale, bias, residual, relu=relu)
+        and tuple(self.pad) == (1, 1) and b is None):
+      from mode_tpu.parallel.mesh import active_mesh
+      mesh = active_mesh()
+      if mesh is not None and mesh.size > 1:
+        # SPMD: the Pallas custom call has no partitioning rule — run it
+        # shard-local (B over 'data', band axis M over 'spatial' with an
+        # ICI halo exchange) via the shard_map wrapper, same as Conv3dDFold
+        dp = mesh.shape.get("data", 1)
+        sp = mesh.shape.get("spatial", 1)
+        bsz, m = x.shape[0], x.shape[1]
+        if (bsz % dp == 0 and m % sp == 0
+            and lane_conv2d_ok((bsz // dp, m // sp, cin, x.shape[3]),
+                               self.features, jnp.dtype(x.dtype).itemsize,
+                               residual is not None, allow_mesh=True)):
+          from mode_tpu.parallel.shard_ops import conv2d_band_sharded
+          if cin % 8:
+            pc = -cin % 8
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pc), (0, 0)))
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, pc), (0, 0)))
+          return conv2d_band_sharded(x, w, scale, bias, residual, relu,
+                                     mesh)
+      elif lane_conv2d_ok(x.shape, self.features,
+                          jnp.dtype(x.dtype).itemsize,
+                          residual is not None):
+        if cin % 8:
+          pc = -cin % 8
+          x = jnp.pad(x, ((0, 0), (0, 0), (0, pc), (0, 0)))
+          w = jnp.pad(w, ((0, 0), (0, 0), (0, pc), (0, 0)))
+        return conv2d_band_pallas(x, w, scale, bias, residual, relu=relu)
 
     dn = jax.lax.conv_dimension_numbers(
         x.shape, w.shape, (_LANE_SPEC_2D["W"], "HWIO", _LANE_SPEC_2D["W"]))

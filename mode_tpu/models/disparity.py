@@ -49,10 +49,12 @@ class SphereFeatureExtraction(nn.Module):
     from mode_tpu.models.blocks import convbn2d_lane
     from mode_tpu.ops.pallas.conv2d_kernel import pallas_policy_ok
 
-    if not train and x.shape[2] % 256 == 0 and pallas_policy_ok():
+    if (not train and x.shape[2] % 256 == 0
+        and pallas_policy_ok(allow_mesh=True)):
       # eval: the two stride-1 stem convs run the fused 2-D band kernel
       # (BN+ReLU in the epilogue) in lane-major; the 7x7/2 stem conv stays
-      # NHWC XLA (C=3 input, stride 2)
+      # NHWC XLA (C=3 input, stride 2). Under a mesh each Conv2dLane
+      # routes through the shard_map wrapper per-call (models/blocks.py)
       x = nn.relu(convbn(x, train, 32, 7, 2, 3, 1, "firstconv.0"))
       xl = jnp.transpose(x, (0, 1, 3, 2))
       xl = convbn2d_lane(xl, 32, "firstconv.2", relu=True)

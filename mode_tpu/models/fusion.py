@@ -62,7 +62,11 @@ def _lane_eligible(shape) -> bool:
   fused epilogues is the formulation that wins."""
   from mode_tpu.ops.pallas.conv2d_kernel import pallas_policy_ok
   b, h, w, c = shape
-  return w % 128 == 0 and h % 8 == 0 and pallas_policy_ok()
+  # allow_mesh: under a mesh each Conv2dLane routes through the shard_map
+  # wrapper per-call (models/blocks.py) and the lane-major XLA ops are
+  # GSPMD-partitioned like any jit op, so whole-net lane residency is
+  # mesh-safe
+  return w % 128 == 0 and h % 8 == 0 and pallas_policy_ok(allow_mesh=True)
 
 
 class FeatureExtractionFusion(nn.Module):

@@ -164,7 +164,8 @@ def conv2d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
                        bias: jnp.ndarray | None = None,
                        residual: jnp.ndarray | None = None,
                        relu: bool = False,
-                       interleave: bool = True) -> jnp.ndarray:
+                       interleave: bool = True,
+                       m_halo: bool = False) -> jnp.ndarray:
   """Fused stride-1 3x3 SAME conv (+affine +residual +ReLU), lane-major.
 
   ``interleave`` selects the per-row-recombination kernel (the measured
@@ -178,10 +179,15 @@ def conv2d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
       multiple of 8.
     scale, bias: optional (Cout,) f32 epilogue affine (folded eval BN).
     residual: optional (B, M, Cout, L) added before ReLU.
+    m_halo: ``x`` already carries its ±1 M halo rows (SPMD shard-local
+      call — the neighbours' boundary rows were exchanged over ICI by the
+      caller, ``parallel/shard_ops.py``); the output then has M-2 rows.
   Returns:
-    (B, M, Cout, L) in x.dtype.
+    (B, M_out, Cout, L) in x.dtype (M_out = M - 2 when ``m_halo``).
   """
   b, m, cin, lanes = x.shape
+  if m_halo:
+    m = m - 2
   kh, kw, wcin, cout = weight.shape
   assert (kh, kw) == (3, 3) and wcin == cin, (weight.shape, x.shape)
   assert lanes % 128 == 0 and cin % 8 == 0 and cout % 8 == 0
@@ -202,7 +208,7 @@ def conv2d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
       else bias.astype(jnp.float32),
   ])[:, :, None]                                       # (2, Cout, 1)
 
-  xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+  xp = x if m_halo else jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
   xp = xp.reshape(b, (m + 2) * cin, lanes)
 
   has_res = residual is not None
@@ -303,15 +309,18 @@ def _conv2d_fast_bwd(res, g):
 conv2d_3x3_fast.defvjp(_conv2d_fast_fwd, _conv2d_fast_bwd)
 
 
-def pallas_policy_ok() -> bool:
-  """The shared mode/mesh/platform policy for the 2-D Pallas fast paths."""
+def pallas_policy_ok(allow_mesh: bool = False) -> bool:
+  """The shared mode/mesh/platform policy for the 2-D Pallas fast paths.
+  ``allow_mesh``: callers that route mesh calls through the shard_map
+  wrapper (``parallel/shard_ops.py:conv2d_band_sharded``) pass True; bare
+  ``conv2d_band_pallas`` calls must stay off under a mesh (the SPMD
+  partitioner cannot split the custom call)."""
   from mode_tpu.ops.pallas.conv3d_kernel import _CONV3D_MODE
   if _CONV3D_MODE == "off":
     return False
   from mode_tpu.parallel.mesh import active_mesh
   mesh = active_mesh()
-  if mesh is not None and mesh.size > 1:
-    # no shard_map wrapper for the 2-D kernel yet: stay on XLA under a mesh
+  if mesh is not None and mesh.size > 1 and not allow_mesh:
     return False
   if _CONV3D_MODE == "on":
     return True
@@ -322,16 +331,18 @@ def pallas_policy_ok() -> bool:
 
 
 def lane_conv2d_ok(x_shape, cout, itemsize: int = 2,
-                   has_res: bool = False) -> bool:
+                   has_res: bool = False,
+                   allow_mesh: bool = False) -> bool:
   """Static gate for :func:`conv2d_band_pallas` on an already lane-major
   ``(B, M, C, L)`` input (stride-1 3x3 SAME assumed by the caller). ``C``
-  may be padded up to the next multiple of 8 by the caller."""
+  may be padded up to the next multiple of 8 by the caller. With
+  ``allow_mesh``, ``x_shape`` must be the SHARD-LOCAL shape."""
   b, m, cin, lanes = x_shape
   cin = -(-cin // 8) * 8
   if cout % 8 != 0 or lanes % 128 != 0:
     return False
   if _pick_mb(m, cin, cout, lanes, itemsize, has_res) is None:
     return False
-  return pallas_policy_ok()
+  return pallas_policy_ok(allow_mesh)
 
 

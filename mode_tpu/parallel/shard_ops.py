@@ -148,6 +148,41 @@ def conv3d_band_deconv_sharded(x: jnp.ndarray, kernel_t: jnp.ndarray,
       out_specs=shard, check_vma=False)(x, kernel_t, sc, bb)
 
 
+def conv2d_band_sharded(x: jnp.ndarray, weight: jnp.ndarray,
+                        scale: jnp.ndarray | None,
+                        bias: jnp.ndarray | None,
+                        residual: jnp.ndarray | None,
+                        relu: bool, mesh) -> jnp.ndarray:
+  """:func:`~mode_tpu.ops.pallas.conv2d_kernel.conv2d_band_pallas` over a
+  ('data', 'spatial') mesh: B sharded over 'data', the band axis M over
+  'spatial' with the same ±1-row ICI halo exchange as the 3-D wrappers
+  (lane-major (B, M, C, L) input). Eval/serving only (no vjp)."""
+  from mode_tpu.ops.pallas.conv2d_kernel import conv2d_band_pallas
+
+  sp = mesh.shape.get("spatial", 1)
+  has_sb = scale is not None
+  has_res = residual is not None
+  cout = weight.shape[-1]
+  sc = scale if has_sb else jnp.zeros((cout,), jnp.float32)
+  bb = bias if bias is not None else jnp.zeros((cout,), jnp.float32)
+  rr = (residual if has_res
+        else jnp.zeros((1, 1, cout, x.shape[-1]), x.dtype))
+
+  def body(xx, ww, sc_, bb_, rr_):
+    xh = _spatial_halo_concat(xx, axis=1, n_shards=sp)
+    return conv2d_band_pallas(xh, ww,
+                              sc_ if has_sb else None,
+                              bb_ if bias is not None else None,
+                              rr_ if has_res else None,
+                              relu=relu, m_halo=True)
+
+  shard = P("data", "spatial", None, None)
+  return jax.shard_map(
+      body, mesh=mesh,
+      in_specs=(shard, P(), P(), P(), shard if has_res else P()),
+      out_specs=shard, check_vma=False)(x, weight, sc, bb, rr)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def sphere_conv_fast_sharded(x, weight, static, mesh):
   """Pallas sphere conv under a mesh: B sharded over 'data', weight

@@ -161,3 +161,50 @@ def test_band_gate_rejects_indivisible_mesh(mesh24):
       assert ck.band_pallas_ok((2, 4, 16, 32, 128), 32)
   finally:
     ck.set_conv3d_pallas("auto")
+
+
+@pytest.mark.parametrize("res,relu", [(False, True), (True, False)])
+def test_sharded_conv2d_band_matches_single(interpret_pallas, mesh24, res,
+                                            relu):
+  from mode_tpu.ops.pallas.conv2d_kernel import conv2d_band_pallas
+
+  b, m, c, lanes, cout = 2, 32, 8, 128, 16
+  key = jax.random.PRNGKey(7)
+  k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+  x = jax.random.normal(k1, (b, m, c, lanes), jnp.float32) * 0.3
+  w = jax.random.normal(k2, (3, 3, c, cout), jnp.float32) * 0.1
+  scale = jax.random.normal(k3, (cout,), jnp.float32) * 0.2 + 1.0
+  bias = jax.random.normal(k4, (cout,), jnp.float32) * 0.1
+  residual = (jax.random.normal(k5, (b, m, cout, lanes),
+                                jnp.float32) * 0.3 if res else None)
+
+  ref = conv2d_band_pallas(x, w, scale, bias, residual, relu=relu)
+  with mesh24:
+    y = shard_ops.conv2d_band_sharded(x, w, scale, bias, residual, relu,
+                                      mesh24)
+  np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_conv2d_lane_module_mesh_dispatch(interpret_pallas, mesh24):
+  """Conv2dLane under an ACTIVE mesh routes to the shard_map wrapper and
+  matches the single-device module output (the FE stem / fusion lane
+  paths rely on this, models/blocks.py)."""
+  from mode_tpu.models.blocks import Conv2dLane
+  from mode_tpu.ops.pallas.conv3d_kernel import set_conv3d_pallas
+
+  b, m, c, lanes, cout = 2, 32, 8, 128, 16
+  key = jax.random.PRNGKey(9)
+  x = jax.random.normal(key, (b, m, c, lanes), jnp.float32) * 0.3
+  mod = Conv2dLane(cout)
+  variables = mod.init(jax.random.PRNGKey(1), x)
+  set_conv3d_pallas("on")            # force the Pallas policy on CPU
+  try:
+    ref = mod.apply(variables, x, relu=True)
+    from mode_tpu.parallel import mesh as pmesh
+    with mesh24, pmesh.activate(mesh24):
+      y = mod.apply(variables, x, relu=True)
+  finally:
+    set_conv3d_pallas("auto")
+  np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                             rtol=1e-5, atol=1e-5)
