@@ -24,7 +24,13 @@ PSMNet-style stage-1 at 1024×512 (batch-6 amortized), plus ~1.5 s/frame for
 the serial numba z-buffer bridge (3 of 6 pairs, CPU), plus fusion —
 ≈ 4.7 s/frame. The target from BASELINE.json is ≥5× that per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Output protocol (round 5, driver keeps the LAST parseable JSON line):
+three progressively-complete JSON lines — train fields first (fast legs),
+then the pipeline fields, then the epoch-IO fields — so a driver timeout
+in any later leg can no longer discard the already-measured numbers (that
+is exactly what emptied BENCH_r04: one print at the very end). The
+epoch-IO legs run under a wall-clock budget (BENCH_WALL_BUDGET_S, default
+1620 s from main() start); past it their fields are null with a reason.
 """
 
 import json
@@ -33,10 +39,16 @@ import time
 
 import numpy as np
 
+_T0 = None   # set at main() start; _elapsed() measures against it
+
+
+def _elapsed():
+  return 0.0 if _T0 is None else time.time() - _T0
+
 
 def _mark(msg):
-  print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
-        flush=True)
+  print(f"[bench {time.strftime('%H:%M:%S')} +{_elapsed():.0f}s] {msg}",
+        file=sys.stderr, flush=True)
 
 REFERENCE_FPS_ESTIMATE = 0.21
 PEAK_BF16_TFLOPS = 197.0   # TPU v5e per-chip bf16 peak
@@ -90,11 +102,30 @@ def bench_pipeline(jax, jnp):
   # hosts feed TPUs over PCIe/DMA with a prefetching input pipeline). The
   # metric is pipeline compute throughput; the (subsampled) fused-depth
   # readback stays in the timed section as the synchronization point.
+  _mark("staging inputs")
   staged = [jax.device_put(frame_inputs()) for _ in range(3)]
-  _mark("pipeline compile start")
-  depth, _, _ = pipe(*staged[0])   # warmup (compile)
+  # phase-split marks (VERDICT r4: the 14-20 min "compile" needed a
+  # breakdown): lower = jaxpr->StableHLO on the host; compile = backend
+  # (under axon: remote XLA:TPU + all Mosaic kernel compiles); warmup
+  # dispatch->readback = executable load + first execution.
+  args = (pipe.disp_variables, pipe.fusion_variables,
+          *(jnp.asarray(a) for a in staged[0]))
+  t0 = time.time()
+  _mark("pipeline lower start")
+  lowered = pipe._run.lower(*args)
+  _mark(f"pipeline lower done ({time.time() - t0:.0f}s)")
+  t0 = time.time()
+  compiled = lowered.compile()
+  _mark(f"pipeline XLA-compile done ({time.time() - t0:.0f}s)")
+  key = tuple((tuple(a.shape), jnp.asarray(a).dtype.name)
+              for a in args[2:])
+  pipe._compiled[key] = compiled
+  t0 = time.time()
+  depth, _, _ = pipe(*staged[0])   # warmup (first execution)
+  _mark(f"pipeline warmup dispatched ({time.time() - t0:.0f}s)")
+  t0 = time.time()
   _ = np.asarray(depth)
-  _mark("pipeline compile done")
+  _mark(f"pipeline warmup readback done ({time.time() - t0:.0f}s)")
 
   n = 12
   times = []
@@ -162,12 +193,16 @@ def bench_train_step(jax, jnp, b=1):
   return float(np.median(times)), flops
 
 
-def bench_epoch_io():
+def bench_epoch_io(budget_s):
   """IO-inclusive epoch throughput (scripts/bench_epoch.py) in a bounded
   subprocess: file lister -> native decode -> prefetch loader -> H2D ->
   train step. The reference's only throughput observable is epoch
   wall-clock (train_disparity.py:234, train_fusion.py:201) — ingest
-  included by definition — so the driver-visible JSON regresses it too."""
+  included by definition — so the driver-visible JSON regresses it too.
+
+  ``budget_s`` is the absolute wall-clock budget (from main() start): a
+  stage is skipped — its fields emitted as null with a reason — rather
+  than started without enough remaining time to finish."""
   import os
   import subprocess
   here = os.path.dirname(os.path.abspath(__file__))
@@ -177,11 +212,19 @@ def bench_epoch_io():
        ["--frames", "8", "--batch", "1"]),
       ("fusion", "fusion_epoch_frames_per_sec_io", ["--stage", "fusion",
                                                     "--frames", "8"])):
+    remaining = budget_s - _elapsed()
+    if remaining < 120:
+      _mark(f"epoch bench ({stage}) SKIPPED: {remaining:.0f}s left of "
+            f"{budget_s:.0f}s budget")
+      out[key] = None
+      out[key + "_skip_reason"] = "wall-clock budget exhausted"
+      continue
     try:
-      _mark(f"epoch bench ({stage}) start")
+      _mark(f"epoch bench ({stage}) start ({remaining:.0f}s left)")
       proc = subprocess.run(
           [sys.executable, os.path.join(here, "scripts", "bench_epoch.py")]
-          + args, capture_output=True, text=True, timeout=1500)
+          + args, capture_output=True, text=True,
+          timeout=min(1500, remaining - 30))
       rec = None
       for line in proc.stdout.strip().splitlines():
         try:
@@ -202,6 +245,10 @@ def bench_epoch_io():
 
 
 def main():
+  global _T0
+  _T0 = time.time()
+  import os
+  budget_s = float(os.environ.get("BENCH_WALL_BUDGET_S", "1620"))
   # A wedged TPU tunnel makes jax.devices() hang forever inside plugin
   # init (observed live) — probe the backend in a child process with a hard
   # timeout and fail fast with an explicit error instead of hanging the
@@ -220,7 +267,6 @@ def main():
   # Persistent compilation cache: the fused pipeline + train step compile in
   # ~9 min cold; warm runs (e.g. the driver's round-end bench after this
   # script ran during development) reuse the serialized executables.
-  import os
   cache_dir = os.environ.get(
       "JAX_COMPILATION_CACHE_DIR",
       os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
@@ -232,47 +278,62 @@ def main():
 
   from mode_tpu.utils.flops import disparity_flops, pipeline_flops
 
-  pipe_times, pipe_xla_flops = bench_pipeline(jax, jnp)
-  pipe_s = float(np.median(pipe_times))
-  fps = 1.0 / pipe_s
-  train_s, train_xla_flops = bench_train_step(jax, jnp, b=1)
-  train2_s, train2_xla_flops = bench_train_step(jax, jnp, b=2)
-
   peak = PEAK_BF16_TFLOPS * 1e12
   pipe_flops = pipeline_flops(1024, 512, 192)
   train_flops = disparity_flops(1, 1024, 512, 192)["train"]
   train2_flops = disparity_flops(2, 1024, 512, 192)["train"]
 
-  extras = {
+  record = {
+      "metric": "two_stage_pipeline_frames_per_sec_per_chip",
+      "value": None,
+      "unit": "frames/s (1024x512, 6 pairs + bridge + fusion)",
+      "vs_baseline": None,
+  }
+
+  # Progressive-output protocol (the driver keeps the LAST parseable JSON
+  # line; each emitted line is a superset of the previous): the fast train
+  # legs run + print FIRST, so even a driver timeout inside the ~20-min
+  # pipeline leg (which emptied BENCH_r04) still delivers numbers; the
+  # pipeline leg then upgrades the record, and the epoch-IO legs upgrade it
+  # again if the wall-clock budget allows.
+  train_s, train_xla_flops = bench_train_step(jax, jnp, b=1)
+  train2_s, train2_xla_flops = bench_train_step(jax, jnp, b=2)
+  record.update({
+      "train_step_s": round(train_s, 4),
+      "train_b2_ms_per_example": round(train2_s / 2 * 1e3, 1),
+      # analytic-FLOPs MFU (conv MACs; see mode_tpu/utils/flops.py)
+      "train_mfu_pct": round(100.0 * train_flops / train_s / peak, 2),
+      "train_tflops": round(train_flops / 1e12, 3),
+      "train_b2_mfu_pct": round(100.0 * train2_flops / train2_s / peak, 2),
+  })
+  if train_xla_flops:
+    record["train_tflops_xla"] = round(train_xla_flops / 1e12, 3)
+  print(json.dumps(record), flush=True)
+  _mark("train JSON emitted")
+
+  pipe_times, pipe_xla_flops = bench_pipeline(jax, jnp)
+  pipe_s = float(np.median(pipe_times))
+  fps = 1.0 / pipe_s
+  record.update({
+      "value": round(fps, 4),
+      "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
       # run-to-run spread of the pipeline iterations (the builder-session vs
       # driver-run discrepancy in round 3 was inside this spread)
       "pipeline_s_min": round(float(np.min(pipe_times)), 4),
       "pipeline_s_stddev": round(float(np.std(pipe_times)), 4),
       "pipeline_iters": len(pipe_times),
-      "train_step_s": round(train_s, 4),
-      "train_b2_ms_per_example": round(train2_s / 2 * 1e3, 1),
-      # analytic-FLOPs MFU (conv MACs; see mode_tpu/utils/flops.py)
       "pipeline_mfu_pct": round(100.0 * pipe_flops / pipe_s / peak, 2),
       "pipeline_tflops": round(pipe_flops / 1e12, 3),
-      "train_mfu_pct": round(100.0 * train_flops / train_s / peak, 2),
-      "train_tflops": round(train_flops / 1e12, 3),
-      "train_b2_mfu_pct": round(100.0 * train2_flops / train2_s / peak, 2),
-  }
+  })
   if pipe_xla_flops:
-    extras["pipeline_tflops_xla"] = round(pipe_xla_flops / 1e12, 3)
-  if train_xla_flops:
-    extras["train_tflops_xla"] = round(train_xla_flops / 1e12, 3)
+    record["pipeline_tflops_xla"] = round(pipe_xla_flops / 1e12, 3)
+  print(json.dumps(record), flush=True)
+  _mark("pipeline JSON emitted")
 
-  epoch = bench_epoch_io()
-  extras.update(epoch)
-
-  print(json.dumps({
-      "metric": "two_stage_pipeline_frames_per_sec_per_chip",
-      "value": round(fps, 4),
-      "unit": "frames/s (1024x512, 6 pairs + bridge + fusion)",
-      "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
-      **extras,
-  }))
+  epoch = bench_epoch_io(budget_s)
+  record.update(epoch)
+  print(json.dumps(record), flush=True)
+  _mark("superset JSON emitted")
 
 
 if __name__ == "__main__":
