@@ -166,7 +166,10 @@ class Deep360DatasetFusion:
           threads).reshape(b, 4, h, w, 3)
       gt = native_io.read_npz_batch([self.gt[i] for i in indices], (h, w),
                                     threads)
-    except IOError:
+    except (IOError, ValueError):
+      # ValueError: a frame whose shape disagrees with the cached first-item
+      # shape (mixed-resolution dataset / wrong-size npz) fails at reshape —
+      # fall back to the per-item Python path like any other decode failure.
       return None
     return {
         "gtNames": [self.gt[i] for i in indices],

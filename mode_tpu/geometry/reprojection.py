@@ -270,9 +270,14 @@ def depth_view_transforms_batched(depths: jnp.ndarray, confs: jnp.ndarray,
 
   x1 = depths[..., None] * ray                    # (K, h, w, 3)
   d = x1 - t[:, None, None, :]
-  # elementwise 3x3 rotation (exact f32 on the VPU — see the single-pair
-  # version for why this must not become an MXU matmul)
-  x2 = jnp.sum(d[..., None, :] * r[:, None, None, :, :], axis=-1)
+  # unrolled 3x3 rotation, same form as the single-pair version: exact f32
+  # on the VPU. A broadcast-multiply-reduce can be pattern-rewritten by XLA
+  # into dot_general (MXU, bf16 default precision), which would corrupt the
+  # z-buffer indices — keep it as explicit scalar mul/adds.
+  rk = r[:, None, None, :, :]                     # (K, 1, 1, 3, 3)
+  x2 = jnp.stack(
+      [d[..., 0] * rk[..., i, 0] + d[..., 1] * rk[..., i, 1]
+       + d[..., 2] * rk[..., i, 2] for i in range(3)], axis=-1)
   r2 = jnp.sqrt(jnp.sum(x2 * x2, axis=-1))
   r2_safe = jnp.where(r2 > 0, r2, 1.0)
   theta2 = jnp.arctan2(x2[..., 1], x2[..., 2])

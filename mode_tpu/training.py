@@ -111,15 +111,18 @@ def make_disparity_train_step(model, optimizer,
                       if compute_dtype else params)
       l = normalize_rgb_on_device(left, compute_dtype)
       r = normalize_rgb_on_device(right, compute_dtype)
+      prev_train_pallas = train_pallas_enabled()
       set_conv3d_train_pallas(use_train_pallas)
       try:
         (p1, p2, p3), mut = model.apply(
             {"params": apply_params, "batch_stats": state.batch_stats},
             l, r, train=True, mutable=["batch_stats"])
       finally:
-        # restore the build-time value (NOT False: the global defaults on,
-        # and a hard reset would poison the next step builder's capture)
-        set_conv3d_train_pallas(use_train_pallas)
+        # restore the value the global held at TRACE entry (not the
+        # build-time capture): interleaved retraces of two step builders
+        # with different captures must leave the ambient setting unchanged,
+        # while tracing itself stays deterministic via the set() above
+        set_conv3d_train_pallas(prev_train_pallas)
       loss = disparity_deep_supervision((p1, p2, p3), gt, mask)
       return loss, mut["batch_stats"]
 
@@ -136,12 +139,24 @@ def make_disparity_train_step(model, optimizer,
 
 def make_fusion_train_step(model, optimizer, max_depth: float,
                            mesh: Optional[Any] = None,
-                           compute_dtype=None) -> Callable:
+                           compute_dtype=None,
+                           raw_inputs: bool = False) -> Callable:
   """One stage-2 update: silog(λ=0.5) on gt<=max_depth
-  (train_fusion.py:100-112)."""
+  (train_fusion.py:100-112).
+
+  ``raw_inputs``: accept the packed-dataset wire dtypes — depths f16,
+  confs u8, rgbs raw u8 (``data/fusion_pack.py``) — and unpack them ON
+  DEVICE (conf/255, ImageNet-normalize rgb): ~3x fewer host→device bytes
+  per frame than pre-decoded float32 inputs."""
 
   def step(state: TrainState, depths, confs, rgbs, gt):
     mask = gt <= max_depth
+    in_dtype = compute_dtype or jnp.float32
+    if raw_inputs:
+      depths = [d.astype(in_dtype) for d in depths]
+      confs = [c.astype(in_dtype) * jnp.asarray(1.0 / 255.0, in_dtype)
+               for c in confs]
+      rgbs = [normalize_rgb_on_device(r, in_dtype) for r in rgbs]
 
     def loss_fn(params):
       apply_params = (cast_conv_params(params, compute_dtype)

@@ -394,6 +394,35 @@ def main():
   results.append(rec)
   print(json.dumps(rec), flush=True)
 
+  # --- batched K-pair z-buffer vs per-pair (bit-exact on-chip) -------------
+  # Guards depth_view_transforms_batched's unrolled rotation against any
+  # XLA rewrite into an MXU dot (bf16 default precision would corrupt the
+  # target indices): the batched path must reproduce the per-pair path
+  # bit-for-bit on the chip.
+  zb_depth3 = np.abs(rng.normal(5.0, 10.0, (3, 1024, 512))).astype(np.float32)
+  zb_depth3[rng.random((3, 1024, 512)) < 0.05] = 0.0
+  zb_conf3 = rng.random((3, 1024, 512)).astype(np.float32)
+  zb_transforms = ((0.0, -1.0, 0.0, 0.5 * np.pi, 0.0, 0.0),
+                   (0.0, 0.0, -1.0, 0.0, 0.0, 0.0),
+                   (1.0, 0.0, 0.0, 0.25 * np.pi, 0.0, 0.0))
+  vb, cb = jax.jit(lambda d, c: rp.depth_view_transforms_batched(
+      d, c, zb_transforms))(jnp.asarray(zb_depth3), jnp.asarray(zb_conf3))
+  vb, cb = np.asarray(vb), np.asarray(cb)
+  vs, cs = [], []
+  for k in range(3):
+    vk, ck = jax.jit(lambda d, c, a=zb_transforms[k]:
+                     rp.depth_view_transform_with_conf(d, c, *a))(
+                         jnp.asarray(zb_depth3[k]), jnp.asarray(zb_conf3[k]))
+    vs.append(np.asarray(vk))
+    cs.append(np.asarray(ck))
+  vs, cs = np.stack(vs), np.stack(cs)
+  zbb_pass = bool(np.array_equal(vb, vs) and np.array_equal(cb, cs))
+  ok = ok and zbb_pass
+  rec = {"check": "zbuffer_batched_bit_exact_1024x512",
+         "max_abs": float(np.abs(vb - vs).max()), "pass": zbb_pass}
+  results.append(rec)
+  print(json.dumps(rec), flush=True)
+
   # --- end-to-end bf16 production-path drift gate --------------------------
   # Trained-ish weights (committed artifact, tests/trained_mirror.py) at the
   # full production resolution: the bf16 conv path (bench.py's pipeline
