@@ -50,6 +50,12 @@ def build_parser():
   p.add_argument("--bf16", action="store_true",
                  help="mixed-precision training (bf16 activations, f32 "
                       "master weights)")
+  p.add_argument("--packed_dir", default=None,
+                 help="pack the train split into one .mfp file per frame "
+                      "under this dir (resumable; data/fusion_pack.py) and "
+                      "train from the packs with on-device unpack — kills "
+                      "the 19-file/frame decode and cuts host->device "
+                      "bytes ~3x (ModeFusion only)")
   p.add_argument("--seed", type=int, default=1)
   p.add_argument("--dp", type=int, default=None)
   p.add_argument("--steps_per_epoch", type=int, default=None)
@@ -69,8 +75,19 @@ def main(argv=None):
 
   td, tc, tr, tg, vd, vc, vr, vg = list_deep360_fusion_train(
       args.datapath_input, args.datapath_dataset, args.soiled)
-  train_ds = Deep360DatasetFusion(td, tc, tr, tg, resize=args.resize,
-                                  training=True)
+  packed = bool(args.packed_dir) and args.model == "ModeFusion" \
+      and not args.resize
+  if args.packed_dir and not packed:
+    print("--packed_dir ignored (requires ModeFusion and no --resize)")
+  if packed:
+    from mode_tpu.data.fusion_pack import PackedFusionDataset, pack_dataset
+    paths = pack_dataset(td, tc, tr, tg,
+                         os.path.join(args.packed_dir, "train"),
+                         verbose=True)
+    train_ds = PackedFusionDataset(paths, gt_names=tg)
+  else:
+    train_ds = Deep360DatasetFusion(td, tc, tr, tg, resize=args.resize,
+                                    training=True)
   val_ds = Deep360DatasetFusion(vd, vc, vr, vg, resize=False, training=False)
   train_loader = DataLoader(train_ds, batch_size=args.batch_size,
                             shuffle=True, num_workers=args.batch_size,
@@ -85,17 +102,20 @@ def main(argv=None):
   mesh = make_mesh(data=args.dp, spatial=1)
   optimizer = training.make_optimizer()
   sample = train_ds[0]
-  mk = lambda a: np.zeros((1,) + a.shape, a.dtype)
+  # init always traces with float32 inputs (the raw u8/f16 wire dtypes are
+  # unpacked inside the train step, not inside the model)
+  mk = lambda a: np.zeros((1,) + a.shape, np.float32)
   d0 = [mk(sample["depths"][k]) for k in range(6)]
   c0 = [mk(sample["confs"][k]) for k in range(6)]
-  r0 = [mk(sample["rgbs"][k]) for k in range(4)]
+  r0 = [mk(sample["rgbs"][k][..., :3]) for k in range(4)]
   if args.model == "ModeFusion":
     import jax.numpy as jnp
     state = training.init_state(model, optimizer, jax.random.PRNGKey(0),
                                 d0, c0, r0, train=False)
     train_step = training.make_fusion_train_step(
         model, optimizer, args.maxdepth, mesh,
-        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        raw_inputs=packed)
     eval_fn = jax.jit(lambda v, d, c, r: model.apply(v, d, c, r,
                                                      train=False))
   else:

@@ -46,6 +46,9 @@ def main():
                   help="truncate the epoch to N steps (default: full epoch)")
   ap.add_argument("--f32-transfer", action="store_true",
                   help="disable the uint8 path (host-normalized float32)")
+  ap.add_argument("--unpacked", action="store_true",
+                  help="fusion: use the 19-file/frame ingest instead of "
+                       "the packed .mfp format (A/B baseline)")
   ap.add_argument("--height", type=int, default=1024)
   ap.add_argument("--width", type=int, default=512)
   args = ap.parse_args()
@@ -174,11 +177,20 @@ def main_fusion(args):
 
   td, tc, tr, tg, *_ = list_deep360_fusion_train(in_root, ds_root,
                                                  soiled=False)
-  ds = Deep360DatasetFusion(td, tc, tr, tg, resize=False, training=True)
+  packed = not args.unpacked
+  if packed:
+    # production ingest: one .mfp file per frame (f16/u8 wire dtypes,
+    # on-device unpack) — mode_tpu/data/fusion_pack.py
+    from mode_tpu.data.fusion_pack import PackedFusionDataset, pack_dataset
+    pack_dir = os.path.join(root, "packs")
+    paths = pack_dataset(td, tc, tr, tg, pack_dir)
+    ds = PackedFusionDataset(paths, gt_names=tg)
+  else:
+    ds = Deep360DatasetFusion(td, tc, tr, tg, resize=False, training=True)
   loader = DataLoader(ds, batch_size=args.batch, shuffle=True,
                       num_workers=8, drop_last=True, prefetch=3)
-  print(json.dumps({"info": "dataset ready", "samples": len(ds)}),
-        flush=True)
+  print(json.dumps({"info": "dataset ready", "samples": len(ds),
+                    "packed": packed}), flush=True)
 
   model = ModeFusion(max_depth=1000.0)
   opt = training.make_optimizer()
@@ -191,7 +203,8 @@ def main_fusion(args):
   state = training.init_state(model, opt, jax.random.PRNGKey(0), d0, c0,
                               r0, train=False)
   step = training.make_fusion_train_step(model, opt, 1000.0, mesh=None,
-                                         compute_dtype=jnp.bfloat16)
+                                         compute_dtype=jnp.bfloat16,
+                                         raw_inputs=packed)
 
   def unpack(batch):
     return ([jax.device_put(batch["depths"][:, k]) for k in range(6)],
@@ -230,7 +243,7 @@ def main_fusion(args):
       "compute_only_frames_per_s": round(compute_fps, 3),
       "io_overhead_pct": round(100.0 * (compute_fps - fps) /
                                max(compute_fps, 1e-9), 1),
-      "batch": args.batch,
+      "batch": args.batch, "packed": packed,
       "loss_finite": bool(np.isfinite(losses).all()),
   }), flush=True)
 
