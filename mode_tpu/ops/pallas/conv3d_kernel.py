@@ -153,6 +153,119 @@ def _pick_blocks(d, m, cin, cout, lanes, itemsize, has_res):
   return None
 
 
+def _kernel_acc(x_ref, w_ref, sb_ref, res_ref, o_ref, bands_ref, zrow_ref,
+                acc_ref, sem, *, db, mb, cin, cout, lanes, relu, has_res):
+  """Accumulator variant of :func:`_kernel` (round-5 A/B winner at B>=2).
+
+  The base kernel's f32 z scratch holds ALL (db+2) input rows' (9·Cout, L)
+  dot results at once, which caps db — at C=64 the block picker lands on
+  (4, 4), so 2 of every 6 input-row dots are D-halo waste. Here each input
+  row's dot result accumulates straight into a (db, mb, 3·Cout, L) f32
+  accumulator (kw groups; kd resolved at add time), so the scratch shrinks
+  ~3x and db grows: halo-compute waste (db+2)/db drops. The di loop
+  alternates MXU dots with VPU adds at per-INPUT-row granularity — measured
+  WINNING at B>=2 (c32 full 24.0->31.2 TF/s at B=2, c64 half 38.2->43.6 at
+  B=6) where the longer grids hide the alternation, and losing at B=1 with
+  a residual or at C=64 (scripts/exp_conv3d_v2.py; dispatch in
+  ``_use_acc_variant``). Numerically identical to the base kernel: same
+  dots, same f32 add order per kw group (max_abs_err 0.0 on-chip)."""
+  b = pl.program_id(0)
+  d = pl.program_id(1)
+  m = pl.program_id(2)
+  nd = pl.num_programs(1)
+  nm = pl.num_programs(2)
+  lin = (b * nd + d) * nm + m
+  total = pl.num_programs(0) * nd * nm
+  slot = lax.rem(lin, 2)
+
+  def band_dma(slot_idx, b_, d_, m_):
+    return pltpu.make_async_copy(
+        x_ref.at[b_, pl.ds(d_ * db, db + 2),
+                 pl.ds(m_ * mb * cin, (mb + 2) * cin)],
+        bands_ref.at[slot_idx], sem.at[slot_idx])
+
+  @pl.when(lin == 0)
+  def _first():
+    band_dma(slot, b, d, m).start()
+
+  @pl.when(lin + 1 < total)
+  def _prefetch():
+    nxt = lin + 1
+    m2 = lax.rem(nxt, nm)
+    d2 = lax.rem(nxt // nm, nd)
+    b2 = nxt // (nm * nd)
+    band_dma(1 - slot, b2, d2, m2).start()
+
+  band_dma(slot, b, d, m).wait()
+
+  prec = _mxu_precision(w_ref.dtype)
+  wmat = w_ref[:].reshape(9 * cout, 3 * cin)
+  for di in range(db + 2):
+    for mm in range(mb):
+      zrow_ref[mm] = jnp.dot(
+          wmat, bands_ref[slot, di, mm * cin:(mm + 3) * cin],
+          preferred_element_type=jnp.float32, precision=prec)
+    # input row di contributes its kd-group to output row dd = di - kd
+    for kd in range(3):
+      dd = di - kd
+      if 0 <= dd < db:
+        sl = zrow_ref[:, 3 * kd * cout:(3 * kd + 3) * cout]  # (mb, 3Cout, L)
+        if kd == 0:
+          acc_ref[dd] = sl
+        else:
+          acc_ref[dd] += sl
+
+  nrow = db * mb
+  a = acc_ref[:].reshape(nrow, 3, cout, lanes)
+  lanes_i = jax.lax.broadcasted_iota(jnp.int32, (nrow, cout, lanes), 2)
+  acc = (a[:, 1] +
+         jnp.where(lanes_i == 0, 0.0, pltpu.roll(a[:, 0], 1, axis=2)) +
+         jnp.where(lanes_i == lanes - 1, 0.0,
+                   pltpu.roll(a[:, 2], lanes - 1, axis=2)))
+  acc = acc * sb_ref[0][None] + sb_ref[1][None]
+  if has_res:
+    acc = acc + res_ref[0].reshape(nrow, cout, lanes).astype(jnp.float32)
+  if relu:
+    acc = jnp.maximum(acc, 0.0)
+  o_ref[0] = acc.reshape(db, mb, cout, lanes).astype(o_ref.dtype)
+
+
+def _pick_blocks_acc(d, m, cin, cout, lanes, itemsize, has_res,
+                     budget=12 * 2**20):
+  """Block picker for :func:`_kernel_acc`: minimize halo-compute waste
+  (db+2)/db first, then DMA halo waste (mb+2)/mb, within the VMEM budget."""
+  def vmem(db, mb):
+    return (2 * (db + 2) * (mb + 2) * cin * lanes * itemsize +   # bands x2
+            2 * db * mb * cout * lanes * itemsize +              # out x2
+            (2 * db * mb * cout * lanes * itemsize if has_res else 0) +
+            3 * cout * 9 * cin * itemsize +                      # weights
+            mb * 9 * cout * lanes * 4 +                          # zrow (f32)
+            db * mb * 3 * cout * lanes * 4)                      # acc (f32)
+
+  best = None
+  for db in (24, 16, 12, 8, 6, 4, 2, 1):
+    for mb in (8, 4, 2, 1):
+      if d % db == 0 and m % mb == 0 and vmem(db, mb) <= budget:
+        cand = ((db + 2) / db, (mb + 2) / mb, db, mb)
+        if best is None or cand[:2] < best[:2]:
+          best = cand
+  return (best[2], best[3]) if best else None
+
+
+def _use_acc_variant(b, cin, cout, has_res) -> bool:
+  """Measured dispatch rule for the accumulator kernel
+  (scripts/exp_conv3d_v2.py, TPU v5e, 2026-08-19): it wins every B>=2 case
+  (+4% to +30%) and the B=1 cases without a residual at C<=32 or with
+  channel reduction (c64->32 +11%); it loses at B=1 with a residual (-8%)
+  or at square C=64 (-9%), where the shorter grid can't hide the MXU/VPU
+  alternation."""
+  if b >= 2:
+    return True
+  if cin > cout:
+    return True
+  return not has_res and cin <= 32 and cout <= 32
+
+
 def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
                        scale: jnp.ndarray | None = None,
                        bias: jnp.ndarray | None = None,
@@ -199,9 +312,14 @@ def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   # (probed on-chip round 3 — the 1/16 hourglass level stays on XLA)
   assert lanes % 128 == 0 and cin % 8 == 0 and cout % 8 == 0
   itemsize = jnp.dtype(x.dtype).itemsize
+  has_res = residual is not None
 
-  blocks = _pick_blocks(d, m, cin, cout, lanes, itemsize,
-                        residual is not None)
+  # accumulator variant where it measures faster (falls back to the base
+  # kernel when its picker finds no block fit)
+  acc_blocks = (_pick_blocks_acc(d, m, cin, cout, lanes, itemsize, has_res)
+                if _use_acc_variant(b, cin, cout, has_res) else None)
+  blocks = (acc_blocks if acc_blocks is not None else
+            _pick_blocks(d, m, cin, cout, lanes, itemsize, has_res))
   assert blocks is not None, (x.shape,)
   db, mb = blocks
 
@@ -218,15 +336,36 @@ def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   xp = jnp.pad(x, ((0, 0), (1, 1), m_pad, (0, 0), (0, 0)))
   xp = xp.reshape(b, d + 2, (m + 2) * cin, lanes)
 
-  has_res = residual is not None
   res = residual if has_res else jnp.zeros((b, 1, 1, cout, lanes), x.dtype)
   res_spec = (pl.BlockSpec((1, db, mb, cout, lanes),
                            lambda i, j, k: (i, j, k, 0, 0)) if has_res else
               pl.BlockSpec((1, 1, 1, cout, lanes), lambda i, j, k: (i, 0, 0,
                                                                     0, 0)))
 
-  kernel = functools.partial(_kernel, db=db, mb=mb, cin=cin, cout=cout,
-                             lanes=lanes, relu=relu, has_res=has_res)
+  if acc_blocks is not None:
+    kernel = functools.partial(_kernel_acc, db=db, mb=mb, cin=cin,
+                               cout=cout, lanes=lanes, relu=relu,
+                               has_res=has_res)
+    scratch = [
+        pltpu.VMEM((2, db + 2, (mb + 2) * cin, lanes), x.dtype),
+        pltpu.VMEM((mb, 9 * cout, lanes), jnp.float32),      # zrow
+        pltpu.VMEM((db, mb, 3 * cout, lanes), jnp.float32),  # acc
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    params = dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=14 * 2**20))
+  else:
+    kernel = functools.partial(_kernel, db=db, mb=mb, cin=cin, cout=cout,
+                               lanes=lanes, relu=relu, has_res=has_res)
+    scratch = [
+        pltpu.VMEM((2, db + 2, (mb + 2) * cin, lanes), x.dtype),
+        # z holds the per-input-row (kd,kw,Cout) pre-shift tiles in f32:
+        # storing bf16 here quantizes each of the 9 accumulated taps and
+        # was measurably off on-chip (conv3d_bf16_c64to32 max_abs 0.0625)
+        pltpu.VMEM((db + 2, mb, 9 * cout, lanes), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    params = {}
   flops = 2 * b * d * m * lanes * 27 * cin * cout
   return pl.pallas_call(
       kernel,
@@ -240,19 +379,13 @@ def conv3d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
       out_specs=pl.BlockSpec((1, db, mb, cout, lanes),
                              lambda i, j, k: (i, j, k, 0, 0)),
       out_shape=jax.ShapeDtypeStruct((b, d, m, cout, lanes), x.dtype),
-      scratch_shapes=[
-          pltpu.VMEM((2, db + 2, (mb + 2) * cin, lanes), x.dtype),
-          # z holds the per-input-row (kd,kw,Cout) pre-shift tiles in f32:
-          # storing bf16 here quantizes each of the 9 accumulated taps and
-          # was measurably off on-chip (conv3d_bf16_c64to32 max_abs 0.0625)
-          pltpu.VMEM((db + 2, mb, 9 * cout, lanes), jnp.float32),
-          pltpu.SemaphoreType.DMA((2,)),
-      ],
+      scratch_shapes=scratch,
       cost_estimate=pl.CostEstimate(
           flops=flops,
           bytes_accessed=(x.size + res.size if has_res else x.size)
           * itemsize * 2,
           transcendentals=0),
+      **params,
   )(xp, w2, sb, res)
 
 

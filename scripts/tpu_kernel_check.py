@@ -192,6 +192,10 @@ def main():
       (1, 48, 256, 128, 32, 32, jnp.bfloat16, True, "bf16_c32_full_res"),
       (1, 24, 128, 64, 64, 64, jnp.bfloat16, False, "bf16_c64_half"),
       (1, 8, 64, 128, 32, 32, jnp.float32, True, "f32_c32_small"),
+      # B>=2 routes to the accumulator kernel (_use_acc_variant) — gate both
+      # its residual and plain paths on-chip at train-family shapes
+      (2, 24, 128, 64, 32, 32, jnp.bfloat16, True, "bf16_c32_half_b2_res"),
+      (2, 24, 128, 64, 64, 64, jnp.bfloat16, False, "bf16_c64_half_b2"),
   ]:
     x = jnp.asarray(rng.normal(size=(b, d, hh, ww, cin)) * 0.3, dtype)
     wgt = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.08, dtype)
