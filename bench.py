@@ -239,6 +239,11 @@ def bench_epoch_io(budget_s):
           out[key.replace("frames_per_sec_io", "io_overhead_pct")] = (
               rec["io_overhead_pct"])
       _mark(f"epoch bench ({stage}) done: {out.get(key)}")
+      if not rec:
+        # the subprocess emitted no value — surface why in the driver log
+        tail = (proc.stderr or "").strip().splitlines()[-6:]
+        _mark(f"epoch bench ({stage}) rc={proc.returncode}, stderr tail: "
+              + " | ".join(tail))
     except Exception as e:
       _mark(f"epoch bench ({stage}) failed: {e}")
   return out

@@ -165,18 +165,19 @@ def depth_view_transform_with_conf(depth: jnp.ndarray, conf: jnp.ndarray,
   return view_out.reshape(h, w), conf_out.reshape(h, w)
 
 
-_ZBUFFER_IMPL = "sort"   # "sort" | "scatter" (set_zbuffer_impl). The two
-                         # are elementwise bit-exact; sort measured 13.3 vs
-                         # 20.2 ms per 1024x512 call on a v5e chip
-                         # (scripts/bench_zbuffer.py) — TPU scatters
-                         # serialize, sorts don't.
+_ZBUFFER_IMPL = "sort"   # "sort" | "sort2x" | "scatter" (set_zbuffer_impl).
+                         # All elementwise bit-exact; per 1024x512 call on a
+                         # v5e chip: sort 10.6 ms (round-5 half-sort +
+                         # unique-scatter extraction), sort2x 12.7, scatter
+                         # 20.2 (colliding TPU scatters serialize; the
+                         # unique-index extraction scatter doesn't).
 
 
 def set_zbuffer_impl(impl: str):
-  """Select the z-buffer collision-resolution algorithm (both are exact,
+  """Select the z-buffer collision-resolution algorithm (all are exact,
   including the first-come tie-break; they differ only in speed)."""
   global _ZBUFFER_IMPL
-  assert impl in ("scatter", "sort"), impl
+  assert impl in ("scatter", "sort", "sort2x"), impl
   _ZBUFFER_IMPL = impl
 
 
@@ -187,15 +188,25 @@ def _zbuffer_resolve(r2f: jnp.ndarray, tgt: jnp.ndarray, n: int
 
   Returns ``(best (n,) f32 <= _SENTINEL, winner (n,) i32 with n = none)``.
 
-  Two exact implementations:
-    * ``scatter``: two global scatter-mins (radius, then tie-break index).
-    * ``sort``: scatter-free — TPU scatters serialize, sorts don't. Append
-      one sentinel entry per target (radius ``_SENTINEL``, source ``n``),
-      stable-sort by (target, radius-bits); the first entry of each target's
-      run is its winner (stability keeps source ascending, reproducing the
-      serial loop's first-come tie-break; non-negative f32 radii compare
-      correctly as their u32 bit patterns). A second stable sort on the
-      run-start flag compacts the n winners to the front in target order.
+  Three exact implementations (selectable for A/B; elementwise identical):
+    * ``scatter``: two global scatter-mins (radius, then tie-break index)
+      over colliding indices.
+    * ``sort`` (default, round 5): ONE stable sort of the n real entries by
+      (target, radius-bits) — non-negative f32 radii compare correctly as
+      their u32 bit patterns, and stability keeps source ascending within
+      equal keys, reproducing the serial loop's first-come tie-break. The
+      first entry of each target's run is its winner; it is placed by a
+      unique-index scatter (run starts hit distinct targets by
+      construction, non-starts drop at index n). Hitless targets keep the
+      (``_SENTINEL``, n) initializers. Measured 10.6 vs 12.7 ms/call at
+      1024×512 on a v5e chip (``scripts/bench_zbuffer_variants.py``,
+      2026-08-20).
+    * ``sort2x``: the round-3 two-sort form — append one sentinel entry per
+      target (radius ``_SENTINEL``, source ``n``) so every target has a
+      run, stable-sort 2n entries, then compact the n run starts to the
+      front in target order with a second stable sort on the run-start
+      flag. Kept for A/B; the searchsorted extraction is NOT an alternative
+      (measured 8× slower than both, docs/PROFILES.md round 4).
   """
   src = jnp.arange(n, dtype=jnp.int32)
   if _ZBUFFER_IMPL == "scatter":
@@ -206,12 +217,29 @@ def _zbuffer_resolve(r2f: jnp.ndarray, tgt: jnp.ndarray, n: int
     winner = jnp.full((n,), n, jnp.int32).at[tgt].min(cand, mode="drop")
     return best, winner
 
-  # --- sort ---------------------------------------------------------------
   r2_cap = jnp.minimum(r2f, jnp.float32(_SENTINEL))   # min vs SENTINEL init
   sent_bits = np.array([_SENTINEL], np.float32).view(np.uint32)[0]
+  bits = jax.lax.bitcast_convert_type(r2_cap, jnp.uint32)
+
+  if _ZBUFFER_IMPL == "sort":
+    s_tgt, s_bits, s_src = jax.lax.sort(
+        (tgt, bits, src), dimension=0, is_stable=True, num_keys=2)
+    start = jnp.concatenate([jnp.ones((1,), bool), s_tgt[1:] != s_tgt[:-1]])
+    idx = jnp.where(start, s_tgt, n)
+    best = jax.lax.bitcast_convert_type(
+        jnp.full((n,), sent_bits, jnp.uint32).at[idx].set(
+            s_bits, mode="drop", unique_indices=True), jnp.float32)
+    winner = jnp.full((n,), n, jnp.int32).at[idx].set(
+        s_src, mode="drop", unique_indices=True)
+    # a real entry capped at exactly _SENTINEL still scatters, but
+    # has_winner (best < _SENTINEL) discards it, matching the scatter
+    # path's strict contender test (and the sort2x stability outcome).
+    return best, winner
+
+  # --- sort2x ---------------------------------------------------------------
   all_tgt = jnp.concatenate([tgt, src])
   all_bits = jnp.concatenate([
-      jax.lax.bitcast_convert_type(r2_cap, jnp.uint32),   # r2 >= 0: bit
+      bits,                                               # r2 >= 0: bit
       jnp.full((n,), sent_bits, jnp.uint32),              # order == value
   ])                                                      # order
   all_src = jnp.concatenate([src, jnp.full((n,), n, jnp.int32)])

@@ -110,6 +110,52 @@ def v3_half_sort(depth, conf, args):
   return _finish(best, conf_out, depth.shape[0], depth.shape[1])
 
 
+def v4_half_sort_scatter(depth, conf, args):
+  """Half-size sort + unique-index scatter extraction (round 5).
+
+  Drops the sentinel entries (first sort shrinks 2n -> n) and extracts each
+  run's first entry — the stable winner — by scattering it to its target
+  position with unique indices (run starts are unique targets by
+  construction; non-starts are dropped at index n). Carries conf as the
+  sort payload like v3, so no winner-index gather is needed."""
+  r2f, tgt, conff, n = _project(depth, conf, args)
+  r2_cap = jnp.minimum(r2f, jnp.float32(SENT))
+  bits = lax.bitcast_convert_type(r2_cap, jnp.uint32)
+  s_tgt, s_bits, s_conf = lax.sort((tgt, bits, conff), dimension=0,
+                                   is_stable=True, num_keys=2)
+  start = jnp.concatenate([jnp.ones((1,), bool), s_tgt[1:] != s_tgt[:-1]])
+  idx = jnp.where(start, s_tgt, n)
+  sent_bits = np.array([SENT], np.float32).view(np.uint32)[0]
+  best_bits = jnp.full((n,), sent_bits, jnp.uint32).at[idx].set(
+      s_bits, mode="drop", unique_indices=True)
+  conf_out = jnp.zeros((n,), jnp.float32).at[idx].set(
+      s_conf, mode="drop", unique_indices=True)
+  best = lax.bitcast_convert_type(best_bits, jnp.float32)
+  conf_out = jnp.where(best < SENT, conf_out, 0.0)
+  return _finish(best, conf_out, depth.shape[0], depth.shape[1])
+
+
+def v5_half_sort_scatter_packed(depth, conf, args):
+  """v4 with the two extraction scatters fused into one (n, 2) u32 scatter."""
+  r2f, tgt, conff, n = _project(depth, conf, args)
+  r2_cap = jnp.minimum(r2f, jnp.float32(SENT))
+  bits = lax.bitcast_convert_type(r2_cap, jnp.uint32)
+  s_tgt, s_bits, s_conf = lax.sort((tgt, bits, conff), dimension=0,
+                                   is_stable=True, num_keys=2)
+  start = jnp.concatenate([jnp.ones((1,), bool), s_tgt[1:] != s_tgt[:-1]])
+  idx = jnp.where(start, s_tgt, n)
+  sent_bits = np.array([SENT], np.float32).view(np.uint32)[0]
+  payload = jnp.stack(
+      [s_bits, lax.bitcast_convert_type(s_conf, jnp.uint32)], axis=-1)
+  init = jnp.stack([jnp.full((n,), sent_bits, jnp.uint32),
+                    jnp.zeros((n,), jnp.uint32)], axis=-1)
+  out = init.at[idx].set(payload, mode="drop", unique_indices=True)
+  best = lax.bitcast_convert_type(out[:, 0], jnp.float32)
+  conf_out = lax.bitcast_convert_type(out[:, 1], jnp.float32)
+  conf_out = jnp.where(best < SENT, conf_out, 0.0)
+  return _finish(best, conf_out, depth.shape[0], depth.shape[1])
+
+
 def main():
   rng = np.random.default_rng(0)
   depth = np.abs(rng.normal(5.0, 10.0, (H, W))).astype(np.float32)
@@ -121,9 +167,14 @@ def main():
   c_dev = jax.device_put(jnp.asarray(conf))
 
   ref_v = ref_c = None
+  only = set(sys.argv[1:])
   for name, fn in (("baseline_2sorts", baseline),
                    ("v1_searchsorted", v1_searchsorted),
-                   ("v3_half_sort", v3_half_sort)):
+                   ("v3_half_sort", v3_half_sort),
+                   ("v4_half_sort_scatter", v4_half_sort_scatter),
+                   ("v5_half_sort_scatter_packed", v5_half_sort_scatter_packed)):
+    if only and name not in only and name != "baseline_2sorts":
+      continue
     @jax.jit
     def run(d, c, fn=fn):
       tv, tc = 0.0, 0.0

@@ -221,10 +221,15 @@ def test_zbuffer_sort_impl_bit_exact(rng):
     rp.set_zbuffer_impl("sort")
     v1, c1 = (np.asarray(t)
               for t in depth_view_transform_with_conf(depth, conf, *args))
+    rp.set_zbuffer_impl("sort2x")
+    v2, c2 = (np.asarray(t)
+              for t in depth_view_transform_with_conf(depth, conf, *args))
   finally:
     rp.set_zbuffer_impl("sort")
   assert np.array_equal(v0, v1)
   assert np.array_equal(c0, c1)
+  assert np.array_equal(v0, v2)
+  assert np.array_equal(c0, c2)
 
 
 def test_batched_view_transforms_bit_exact(rng):
