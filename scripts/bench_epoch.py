@@ -90,8 +90,16 @@ def main():
   print(json.dumps({"info": "dataset ready", "samples": n_samples,
                     "u8_transfer": not args.f32_transfer}), flush=True)
 
+  # remat=True spelled explicitly to match bench.py's train leg (it is also
+  # the model default). NOTE the u8-transfer loader makes this subprocess's
+  # train step a DIFFERENT XLA program from the f32 one the parent bench
+  # compiles, so it only hits the persistent cache if bench_epoch itself has
+  # completed once on this machine — run bench.py to completion (which runs
+  # this subprocess) after the last program-affecting commit, or the
+  # driver's 1500 s leg timeout dies inside this leg's cold compile
+  # (the r04 failure mode).
   model = ModeDisparity(maxdisp=192, conv="Sphere", sphere_type="Cassini",
-                        out_conf=False)
+                        out_conf=False, remat=True)
   opt = training.make_optimizer()
   dummy = np.zeros((args.batch, args.height, args.width, 3), np.float32)
   state = training.init_state(model, opt, jax.random.PRNGKey(0), dummy,
