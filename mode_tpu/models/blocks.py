@@ -313,23 +313,41 @@ class Conv2dLane(nn.Module):
   kernel: Sequence[int] = (3, 3)
   stride: Sequence[int] = (1, 1)
   pad: Sequence[int] = (1, 1)
+  dilation: Sequence[int] = (1, 1)
   use_bias: bool = False
   kernel_init: Any = None
 
   @nn.compact
   def __call__(self, x, scale=None, bias=None, residual=None,
-               relu: bool = False):
+               relu: bool = False, g: int = 1):
     from mode_tpu.ops.pallas.conv2d_kernel import (
-        conv2d_band_pallas, lane_conv2d_ok)
+        bpack_conv2d_ok, conv2d_band_bpack, conv2d_band_pallas,
+        lane_conv2d_ok)
     cin = x.shape[2]
     w = self.param("kernel", self.kernel_init or msra_normal_init(),
                    (*self.kernel, cin, self.features))
     w = w.astype(x.dtype)
     b = (self.param("bias", nn.initializers.zeros, (self.features,))
          if self.use_bias else None)
+    dil = tuple(self.dilation)
 
     if (tuple(self.kernel) == (3, 3) and tuple(self.stride) == (1, 1)
-        and tuple(self.pad) == (1, 1) and b is None):
+        and dil[0] == dil[1] and tuple(self.pad) == (dil[0], dil[0])
+        and b is None and g > 1
+        and bpack_conv2d_ok(x.shape, self.features,
+                            jnp.dtype(x.dtype).itemsize,
+                            residual is not None, g, dil[0])):
+      # batch-packed band kernel: g images share the GEMM's lane axis
+      # (2-7x over NHWC XLA at the FE-stage shapes, docs/PROFILES.md)
+      if cin % 8:
+        pc = -cin % 8
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pc), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, pc), (0, 0)))
+      return conv2d_band_bpack(x, w, scale, bias, residual, relu=relu,
+                               g=g, dilation=dil[0])
+
+    if (tuple(self.kernel) == (3, 3) and tuple(self.stride) == (1, 1)
+        and dil == (1, 1) and tuple(self.pad) == (1, 1) and b is None):
       from mode_tpu.parallel.mesh import active_mesh
       mesh = active_mesh()
       if mesh is not None and mesh.size > 1:
@@ -363,7 +381,8 @@ class Conv2dLane(nn.Module):
         x.shape, w.shape, (_LANE_SPEC_2D["W"], "HWIO", _LANE_SPEC_2D["W"]))
     y = jax.lax.conv_general_dilated(
         x, w, tuple(self.stride), [(p, p) for p in self.pad],
-        dimension_numbers=dn, precision=mxu_precision(x.dtype))
+        rhs_dilation=dil, dimension_numbers=dn,
+        precision=mxu_precision(x.dtype))
     yf = y.astype(jnp.float32)
     if scale is not None:
       yf = yf * scale[:, None] + bias[:, None]
@@ -377,15 +396,33 @@ class Conv2dLane(nn.Module):
 
 
 def convbn2d_lane(x, features, prefix, *, relu: bool = False,
-                  residual=None):
+                  residual=None, stride: int = 1, dilation: int = 1,
+                  g: int = 1):
   """Eval-only lane-major ``convbn`` (+ optional residual / ReLU): the same
   param tree as :func:`convbn` (``prefix.0`` conv, ``prefix.1`` BN), with
   the eval BN folded to a per-channel affine and fused into the conv's
-  epilogue instead of running as a separate elementwise pass."""
+  epilogue instead of running as a separate elementwise pass. ``g`` > 1
+  requests the batch-packed band kernel (Conv2dLane dispatches when
+  eligible). The padding mirrors convbn's torch quirk
+  (padding = dilation if dilation > 1 else 1)."""
   scale, bias = TorchBatchNorm(name=f"{prefix}.1")(
       None, False, affine_only=True, features=features)
-  return Conv2dLane(features, name=f"{prefix}.0")(
-      x, scale=scale, bias=bias, residual=residual, relu=relu)
+  eff_pad = dilation if dilation > 1 else 1
+  return Conv2dLane(features, stride=(stride, stride),
+                    pad=(eff_pad, eff_pad), dilation=(dilation, dilation),
+                    name=f"{prefix}.0")(
+      x, scale=scale, bias=bias, residual=residual, relu=relu, g=g)
+
+
+def downsample_lane(x, features, stride, prefix):
+  """Lane-major :func:`downsample_shortcut` (1x1 conv + folded eval BN) on
+  a (B, M, C, L) tensor — the residual-block shortcut for the eval FE lane
+  path. Same param tree as the NHWC version."""
+  scale, bias = TorchBatchNorm(name=f"{prefix}.1")(
+      None, False, affine_only=True, features=features)
+  return Conv2dLane(features, kernel=(1, 1), stride=(stride, stride),
+                    pad=(0, 0), name=f"{prefix}.0")(
+      x, scale=scale, bias=bias)
 
 
 def bn_relu_lane(x, prefix, features):
@@ -648,7 +685,13 @@ class BasicBlockNoRelu(nn.Module):
 
 
 class RegularBasicBlock(nn.Module):
-  """``RegularBasicBlock`` (submodule.py:94-119): ReLU after the add."""
+  """``RegularBasicBlock`` (submodule.py:94-119): ReLU after the add.
+
+  ``lane_g`` (eval only): run lane-major on a (B, M, C, L) input — both
+  convbn stages through :func:`convbn2d_lane` with the BN folded into the
+  conv epilogue and the shortcut add + final ReLU fused into conv2's
+  epilogue; ``lane_g`` > 1 additionally requests the batch-packed band
+  kernel. Identical param tree to the NHWC path."""
   features: int
   stride: int = 1
   pad: int = 1
@@ -656,7 +699,16 @@ class RegularBasicBlock(nn.Module):
   has_downsample: bool = False
 
   @nn.compact
-  def __call__(self, x, train: bool):
+  def __call__(self, x, train: bool, lane_g: int | None = None):
+    if lane_g is not None:
+      assert not train
+      out = convbn2d_lane(x, self.features, "conv1.0", relu=True,
+                          stride=self.stride, dilation=self.dilation,
+                          g=lane_g)
+      sc = (downsample_lane(x, self.features, self.stride, "downsample")
+            if self.has_downsample else x)
+      return convbn2d_lane(out, self.features, "conv2", residual=sc,
+                           relu=True, dilation=self.dilation, g=lane_g)
     out = convbn(x, train, self.features, 3, self.stride, self.pad,
                  self.dilation, "conv1.0")
     out = nn.relu(out)

@@ -47,19 +47,30 @@ class SphereFeatureExtraction(nn.Module):
   @nn.compact
   def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
     from mode_tpu.models.blocks import convbn2d_lane
-    from mode_tpu.ops.pallas.conv2d_kernel import pallas_policy_ok
+    from mode_tpu.ops.pallas.conv2d_kernel import (pallas_policy_ok,
+                                                   pick_bpack_g)
 
-    if (not train and x.shape[2] % 256 == 0
-        and pallas_policy_ok(allow_mesh=True)):
+    lane_stem = (not train and x.shape[2] % 256 == 0
+                 and pallas_policy_ok(allow_mesh=True))
+    # lane-resident residual stages need the batch-packed kernel at BOTH
+    # lane widths (W/2 for layer1, W/4 for layer2/3) — per-image band
+    # kernels lose at these small-N GEMMs and packing has no shard_map
+    # wrapper, so under a mesh (or at b=1) the stages stay NHWC XLA
+    lane_fe = (lane_stem and pallas_policy_ok(allow_mesh=False)
+               and pick_bpack_g(x.shape[0], x.shape[2] // 2) is not None
+               and pick_bpack_g(x.shape[0], x.shape[2] // 4) is not None)
+    if lane_stem:
       # eval: the two stride-1 stem convs run the fused 2-D band kernel
       # (BN+ReLU in the epilogue) in lane-major; the 7x7/2 stem conv stays
       # NHWC XLA (C=3 input, stride 2). Under a mesh each Conv2dLane
       # routes through the shard_map wrapper per-call (models/blocks.py)
       x = nn.relu(convbn(x, train, 32, 7, 2, 3, 1, "firstconv.0"))
       xl = jnp.transpose(x, (0, 1, 3, 2))
-      xl = convbn2d_lane(xl, 32, "firstconv.2", relu=True)
-      xl = convbn2d_lane(xl, 32, "firstconv.4", relu=True)
-      x = jnp.transpose(xl, (0, 1, 3, 2))
+      g_stem = ((pick_bpack_g(xl.shape[0], xl.shape[3]) or 1)
+                if lane_fe else 1)
+      xl = convbn2d_lane(xl, 32, "firstconv.2", relu=True, g=g_stem)
+      xl = convbn2d_lane(xl, 32, "firstconv.4", relu=True, g=g_stem)
+      x = xl if lane_fe else jnp.transpose(xl, (0, 1, 3, 2))
     else:
       for i, (feat, k, s, p) in enumerate([(32, 7, 2, 3), (32, 3, 1, 1),
                                            (32, 3, 1, 1)]):
@@ -67,19 +78,35 @@ class SphereFeatureExtraction(nn.Module):
                            f"firstconv.{2 * i}"))
 
     def stage(x, block_cls, prefix, feats, blocks, stride, dilation,
-              **kw):
-      cin = x.shape[-1]
+              lane_g=None, **kw):
+      lane_kw = {} if lane_g is None else {"lane_g": lane_g}
+      cin = x.shape[2] if lane_g is not None else x.shape[-1]
       x = block_cls(feats, stride=stride, pad=1, dilation=dilation,
                     has_downsample=(stride != 1 or cin != feats),
-                    name=f"{prefix}.0", **kw)(x, train)
+                    name=f"{prefix}.0", **kw)(x, train, **lane_kw)
       for i in range(1, blocks):
         x = block_cls(feats, stride=1, pad=1, dilation=dilation,
-                      name=f"{prefix}.{i}", **kw)(x, train)
+                      name=f"{prefix}.{i}", **kw)(x, train, **lane_kw)
       return x
 
-    x = stage(x, RegularBasicBlock, "layer1", 64, 3, 1, 1)
-    out_raw = stage(x, RegularBasicBlock, "layer2", 64, 8, 2, 1)
-    out_reg = stage(out_raw, RegularBasicBlock, "layer3", 64, 4, 1, 2)
+    if lane_fe:
+      # layers 1-3 stay lane-major (B, H, C, W): every stride-1 conv runs
+      # the batch-packed band kernel (BN/shortcut/ReLU in the epilogue),
+      # 2-7x over the NHWC XLA convs (docs/PROFILES.md round-5); only the
+      # two stride-2 convs of layer2.0 run lane-major XLA
+      b = x.shape[0]
+      x = stage(x, RegularBasicBlock, "layer1", 64, 3, 1, 1,
+                lane_g=pick_bpack_g(b, x.shape[3]))
+      out_raw = stage(x, RegularBasicBlock, "layer2", 64, 8, 2, 1,
+                      lane_g=pick_bpack_g(b, x.shape[3] // 2))
+      out_reg = stage(out_raw, RegularBasicBlock, "layer3", 64, 4, 1, 2,
+                      lane_g=pick_bpack_g(b, out_raw.shape[3]))
+      out_raw = jnp.transpose(out_raw, (0, 1, 3, 2))
+      out_reg = jnp.transpose(out_reg, (0, 1, 3, 2))
+    else:
+      x = stage(x, RegularBasicBlock, "layer1", 64, 3, 1, 1)
+      out_raw = stage(x, RegularBasicBlock, "layer2", 64, 8, 2, 1)
+      out_reg = stage(out_raw, RegularBasicBlock, "layer3", 64, 4, 1, 2)
     out_sph = stage(out_reg, SphereBasicBlock, "layer4", 128, 8, 1, 1,
                     sphere_type=self.sphere_type)
     feat = jnp.concatenate([out_raw, out_reg, out_sph], axis=-1)

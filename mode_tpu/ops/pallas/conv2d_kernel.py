@@ -245,6 +245,211 @@ def conv2d_band_pallas(x: jnp.ndarray, weight: jnp.ndarray,
   )(xp, w2, sb, res)
 
 
+def _kernel_bpack(x_ref, w_ref, sb_ref, res_ref, o_ref, bands_ref, z_ref,
+                  sem, *, g, mb, cin, cout, lanes, relu, has_res, dil):
+  """Batch-packed variant of :func:`_kernel`: G images ride the LANE axis
+  side by side, so each dot's N dimension is G*L instead of L (the
+  MXU-fill limiter at L<=256, docs/PROFILES.md round-5). The packing
+  happens in the DMA destination — each grid step issues G async band
+  copies into disjoint 128-aligned lane columns of the shared scratch —
+  and the kw recombination masks every image's edge lanes, keeping images
+  independent (bit-identical to the per-image kernel). ``dil`` > 1 runs
+  the dilated tap pattern (layer3's dilation-2 blocks): the kh taps become
+  ``dil``-strided band rows (3 accumulated dots) and the kw taps become
+  ±dil lane shifts with dil-wide edge masks."""
+  bg = pl.program_id(0)
+  m = pl.program_id(1)
+  nm = pl.num_programs(1)
+  lin = bg * nm + m
+  total = pl.num_programs(0) * nm
+  slot = lax.rem(lin, 2)
+  band_rows = (mb + 2 * dil) * cin
+
+  def band_dma(slot_idx, bg_, m_, g_):
+    return pltpu.make_async_copy(
+        x_ref.at[bg_ * g + g_, pl.ds(m_ * mb * cin, band_rows)],
+        bands_ref.at[slot_idx, :, pl.ds(g_ * lanes, lanes)],
+        sem.at[slot_idx, g_])
+
+  @pl.when(lin == 0)
+  def _first():
+    for g_ in range(g):
+      band_dma(slot, bg, m, g_).start()
+
+  @pl.when(lin + 1 < total)
+  def _prefetch():
+    nxt = lin + 1
+    for g_ in range(g):
+      band_dma(1 - slot, nxt // nm, lax.rem(nxt, nm), g_).start()
+
+  for g_ in range(g):
+    band_dma(slot, bg, m, g_).wait()
+
+  prec = _mxu_precision(w_ref.dtype)
+  wmat = w_ref[:]                                  # (3Cout, 3Cin)
+  gl = g * lanes
+  lanes_i = jax.lax.broadcasted_iota(jnp.int32, (cout, gl), 1) % lanes
+  is_left = lanes_i < dil
+  is_right = lanes_i >= lanes - dil
+
+  def recombine(mm):
+    z = z_ref[mm]                                  # (3Cout, GL) f32
+    left = z[0:cout]
+    mid = z[cout:2 * cout]
+    right = z[2 * cout:3 * cout]
+    acc = (mid +
+           jnp.where(is_left, 0.0, pltpu.roll(left, dil, axis=1)) +
+           jnp.where(is_right, 0.0, pltpu.roll(right, gl - dil, axis=1)))
+    acc = acc * sb_ref[0] + sb_ref[1]
+    for g_ in range(g):
+      slab = acc[:, g_ * lanes:(g_ + 1) * lanes]
+      if has_res:
+        slab = slab + res_ref[g_, mm].astype(jnp.float32)
+      if relu:
+        slab = jnp.maximum(slab, 0.0)
+      o_ref[g_, mm] = slab.astype(o_ref.dtype)
+
+  for mm in range(mb):
+    if dil == 1:
+      z_ref[mm] = jnp.dot(
+          wmat, bands_ref[slot, mm * cin:(mm + 3) * cin],
+          preferred_element_type=jnp.float32, precision=prec)
+    else:
+      z = jnp.dot(wmat[:, 0:cin],
+                  bands_ref[slot, mm * cin:(mm + 1) * cin],
+                  preferred_element_type=jnp.float32, precision=prec)
+      for k in (1, 2):
+        off = (mm + k * dil) * cin
+        z = z + jnp.dot(wmat[:, k * cin:(k + 1) * cin],
+                        bands_ref[slot, off:off + cin],
+                        preferred_element_type=jnp.float32, precision=prec)
+      z_ref[mm] = z
+    if mm >= 1:
+      recombine(mm - 1)
+  recombine(mb - 1)
+
+
+def _pick_mb_bpack(m, cin, cout, gl, itemsize, has_res, dil):
+  def vmem(mb):
+    return (2 * (mb + 2 * dil) * cin * gl * itemsize +       # bands x2
+            2 * mb * cout * gl * itemsize +                  # out x2
+            (2 * mb * cout * gl * itemsize if has_res else 0) +
+            3 * cout * 3 * cin * itemsize +
+            mb * 3 * cout * gl * 4)                          # z (f32)
+
+  for mb in (16, 8, 4, 2, 1):
+    if m % mb == 0 and vmem(mb) <= 10 * 2**20:
+      return mb
+  return None
+
+
+def conv2d_band_bpack(x: jnp.ndarray, weight: jnp.ndarray,
+                      scale: jnp.ndarray | None = None,
+                      bias: jnp.ndarray | None = None,
+                      residual: jnp.ndarray | None = None,
+                      relu: bool = False,
+                      g: int = 2,
+                      dilation: int = 1) -> jnp.ndarray:
+  """Fused 3x3 SAME conv (+affine +residual +ReLU), lane-major,
+  batch-packed: groups of ``g`` images are computed in one GEMM with
+  N = g*L. Measured 2-7x over the in-model NHWC XLA convs at the FE-stage
+  shapes (docs/PROFILES.md round-5). Same semantics and param layout as
+  :func:`conv2d_band_pallas`; additionally supports ``dilation`` (the
+  reference layer3 blocks, submodule.py:186-189 via convbn's
+  padding=dilation quirk)."""
+  b, m, cin, lanes = x.shape
+  kh, kw, wcin, cout = weight.shape
+  assert (kh, kw) == (3, 3) and wcin == cin, (weight.shape, x.shape)
+  assert lanes % 128 == 0 and cin % 8 == 0 and cout % 8 == 0
+  assert b % g == 0 and g >= 1
+  itemsize = jnp.dtype(x.dtype).itemsize
+
+  mb = _pick_mb_bpack(m, cin, cout, g * lanes, itemsize,
+                      residual is not None, dilation)
+  assert mb is not None, (x.shape, g)
+
+  w2 = jnp.transpose(weight, (1, 3, 0, 2)).reshape(3 * cout, 3 * cin)
+  w2 = w2.astype(x.dtype)
+  sb = jnp.stack([
+      jnp.ones((cout,), jnp.float32) if scale is None
+      else scale.astype(jnp.float32),
+      jnp.zeros((cout,), jnp.float32) if bias is None
+      else bias.astype(jnp.float32),
+  ])[:, :, None]
+
+  xp = jnp.pad(x, ((0, 0), (dilation, dilation), (0, 0), (0, 0)))
+  xp = xp.reshape(b, (m + 2 * dilation) * cin, lanes)
+
+  has_res = residual is not None
+  res = residual if has_res else jnp.zeros((b, 1, cout, lanes), x.dtype)
+  res_spec = (pl.BlockSpec((g, mb, cout, lanes), lambda i, j: (i, j, 0, 0))
+              if has_res else
+              pl.BlockSpec((1, 1, cout, lanes), lambda i, j: (0, 0, 0, 0)))
+
+  kernel = functools.partial(_kernel_bpack, g=g, mb=mb, cin=cin, cout=cout,
+                             lanes=lanes, relu=relu, has_res=has_res,
+                             dil=dilation)
+  flops = 2 * b * m * lanes * 9 * cin * cout
+  return pl.pallas_call(
+      kernel,
+      grid=(b // g, m // mb),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec((3 * cout, 3 * cin), lambda i, j: (0, 0)),
+          pl.BlockSpec((2, cout, 1), lambda i, j: (0, 0, 0)),
+          res_spec,
+      ],
+      out_specs=pl.BlockSpec((g, mb, cout, lanes),
+                             lambda i, j: (i, j, 0, 0)),
+      out_shape=jax.ShapeDtypeStruct((b, m, cout, lanes), x.dtype),
+      scratch_shapes=[
+          pltpu.VMEM((2, (mb + 2 * dilation) * cin, g * lanes), x.dtype),
+          pltpu.VMEM((mb, 3 * cout, g * lanes), jnp.float32),
+          pltpu.SemaphoreType.DMA((2, g)),
+      ],
+      cost_estimate=pl.CostEstimate(
+          flops=flops,
+          bytes_accessed=(x.size + (res.size if has_res else 0)) * itemsize
+          * 2,
+          transcendentals=0),
+  )(xp, w2, sb, res)
+
+
+def pick_bpack_g(b: int, lanes: int) -> int | None:
+  """Measured-best pack factor per lane width (docs/PROFILES.md round-5:
+  L=512 -> g=6 at 65 TF/s, L=256 -> g=2 at 74, L=128 -> g=3 at 19),
+  constrained to divisors of the batch. None = packing unavailable (b=1,
+  no divisor >1, or lanes not 128-aligned): fall back to the per-image
+  band kernel / XLA."""
+  if lanes % 128 != 0:
+    return None
+  prefs = ((6, 3, 2) if lanes >= 512 else
+           (2, 3, 6) if lanes >= 256 else
+           (3, 6, 2))
+  for g in prefs:
+    if b % g == 0:
+      return g
+  return None
+
+
+def bpack_conv2d_ok(x_shape, cout, itemsize: int = 2,
+                    has_res: bool = False, g: int = 2,
+                    dilation: int = 1) -> bool:
+  """Static gate for :func:`conv2d_band_bpack` on a lane-major
+  ``(B, M, C, L)`` input. Mesh calls are NOT supported (no shard_map
+  wrapper for the packed variant — under a mesh use the per-image path)."""
+  b, m, cin, lanes = x_shape
+  cin = -(-cin // 8) * 8
+  if g < 2 or b % g != 0:
+    return False
+  if cout % 8 != 0 or lanes % 128 != 0:
+    return False
+  if _pick_mb_bpack(m, cin, cout, g * lanes, itemsize, has_res,
+                    dilation) is None:
+    return False
+  return pallas_policy_ok(allow_mesh=False)
+
+
 def lane_axis_for_2d(shape) -> int | None:
   """Which NHWC spatial axis rides the lanes: 2 (W) or 1 (H), else None."""
   _, h, w, _ = shape

@@ -345,6 +345,97 @@ def main():
     tol = 1e-4 if dtype == jnp.float32 else 4e-2
     check(f"conv2d_{tag}", got, ref, tol, tol)
 
+  # --- batch-packed 2-D band conv (FE-stage fast path) ----------------------
+  from mode_tpu.ops.pallas.conv2d_kernel import conv2d_band_bpack
+
+  def conv2d_xla_dil_ref(x, wgt, scale, bias, residual, relu, dil):
+    dn = jax.lax.conv_dimension_numbers(x.shape, wgt.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, wgt, (1, 1), [(dil, dil)] * 2, rhs_dilation=(dil, dil),
+        dimension_numbers=dn,
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT)).astype(jnp.float32)
+    y = y * scale + bias
+    if residual is not None:
+      y = y + residual.astype(jnp.float32)
+    if relu:
+      y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+  for b, hh, ww, cin, cout, g, dil, dtype, res, tag in [
+      (6, 512, 256, 32, 64, 2, 1, jnp.bfloat16, False, "bf16_layer1_g2"),
+      (6, 256, 128, 64, 64, 3, 1, jnp.bfloat16, True, "bf16_layer2_g3_res"),
+      (6, 256, 128, 64, 64, 3, 2, jnp.bfloat16, True, "bf16_layer3_g3_dil2"),
+      (6, 128, 128, 32, 32, 2, 2, jnp.float32, False, "f32_g2_dil2"),
+  ]:
+    x = jnp.asarray(rng.normal(size=(b, hh, ww, cin)) * 0.3, dtype)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.08, dtype)
+    scale = jnp.asarray(rng.normal(size=(cout,)) * 0.2 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    residual = (jnp.asarray(rng.normal(size=(b, hh, ww, cout)) * 0.3, dtype)
+                if res else None)
+    xl = jnp.transpose(x, (0, 1, 3, 2))
+    rl = None if residual is None else jnp.transpose(residual, (0, 1, 3, 2))
+    got = jax.jit(lambda a, w_, r: conv2d_band_bpack(
+        a, w_, scale, bias, r, relu=True, g=g, dilation=dil))(xl, wgt, rl)
+    got = jnp.transpose(got, (0, 1, 3, 2))
+    ref = jax.jit(lambda a, w_, r: conv2d_xla_dil_ref(
+        a, w_, scale, bias, r, True, dil))(x, wgt, residual)
+    tol = 1e-4 if dtype == jnp.float32 else 4e-2
+    check(f"conv2d_bpack_{tag}", got, ref, tol, tol)
+
+  # --- FE lane-resident stage path (B=6 production geometry) ---------------
+  # Layers 1-3 lane-major with batch-packed convs vs the NHWC XLA FE at the
+  # same random weights — the composition (stride-2 lane XLA convs of
+  # layer2.0, dilated packed convs of layer3, epilogue-fused shortcuts)
+  # that the per-kernel checks can't cover. B=6 is the production stage-1
+  # batch (6 pairs/frame); the e2e gates below run B=1 where packing is
+  # ineligible by design.
+  # Trained-mirror weights: random init explodes feature magnitude through
+  # the 15 residual blocks (sqrt(2)x per add), which turns benign bf16
+  # reduction-order drift into un-gateable absolute error. At the trained
+  # point features are O(1.4) and the measured path diff is f32 4.5e-7 /
+  # bf16 one ULP (0.0156).
+  try:
+    from tests.trained_mirror import get_trained_state_dict as _fe_sd
+    from mode_tpu.models.disparity import (ModeDisparity,
+                                           SphereFeatureExtraction)
+    from mode_tpu.ops.pallas import conv3d_kernel as _c3k
+    from mode_tpu.utils.torch_convert import convert_state_dict as _fe_conv
+    _fe_m = ModeDisparity(maxdisp=192, out_conf=False)
+    _fe_tiny = jnp.zeros((1, 64, 32, 3), jnp.float32)
+    _fe_v = jax.jit(lambda: _fe_m.init(jax.random.PRNGKey(0), _fe_tiny,
+                                       _fe_tiny, train=False))()
+    _fe_v = jax.device_put(_fe_conv(_fe_sd(), _fe_v))
+    fe = SphereFeatureExtraction(sphere_type="Cassini")
+    fe_vars = {"params": _fe_v["params"]["feature_extraction"],
+               "batch_stats": _fe_v["batch_stats"]["feature_extraction"]}
+    fe_x32 = jnp.asarray(rng.normal(size=(6, 1024, 512, 3)) * 0.5,
+                         jnp.float32)
+    for fe_dtype, fe_tol, fe_tag in ((jnp.float32, 1e-5, "f32"),
+                                     (jnp.bfloat16, 4e-2, "bf16")):
+      fx = fe_x32.astype(fe_dtype)
+      fv = {"params": jax.tree.map(lambda a: a.astype(fe_dtype)
+                                   if a.dtype == jnp.float32 else a,
+                                   fe_vars["params"]),
+            "batch_stats": fe_vars["batch_stats"]}
+      try:
+        _c3k.set_conv3d_pallas("off")
+        fe_ref = np.asarray(jax.jit(lambda v, a: fe.apply(
+            v, a, train=False))(fv, fx))
+        _c3k.set_conv3d_pallas("auto")
+        fe_lane = np.asarray(jax.jit(lambda v, a: fe.apply(
+            v, a, train=False))(fv, fx))
+      finally:
+        _c3k.set_conv3d_pallas("auto")
+      check(f"fe_lane_stage_b6_{fe_tag}", jnp.asarray(fe_lane),
+            jnp.asarray(fe_ref), fe_tol, fe_tol)
+  except Exception as e:                                  # pragma: no cover
+    ok = False
+    print(json.dumps({"check": "fe_lane_stage_b6", "pass": False,
+                      "error": repr(e)[:200]}), flush=True)
+
   # --- fusion net lane-major eval path vs NHWC XLA path --------------------
   # Covers the composition the per-kernel checks can't: whole-net lane
   # residency, fused epilogues, lane-major pools/transpose-convs, and the

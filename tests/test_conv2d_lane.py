@@ -111,3 +111,71 @@ def test_fusion_net_pallas_dispatch_parity(interpret_pallas):
     c3.set_conv3d_pallas("auto")
   np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_xla),
                              rtol=2e-3, atol=2e-3)
+
+
+def _xla_ref_dil(x, w, scale, bias, residual, relu, dil):
+  dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+  y = lax.conv_general_dilated(x, w, (1, 1), [(dil, dil)] * 2,
+                               rhs_dilation=(dil, dil),
+                               dimension_numbers=dn,
+                               precision=lax.Precision.HIGHEST)
+  if scale is not None:
+    y = y * scale + bias
+  if residual is not None:
+    y = y + residual
+  if relu:
+    y = jnp.maximum(y, 0.0)
+  return y
+
+
+@pytest.mark.parametrize("b,m,c,cout,lanes,g,dil,res,relu", [
+    (4, 8, 8, 8, 128, 2, 1, False, True),
+    (6, 8, 16, 8, 128, 3, 1, True, True),
+    (6, 16, 8, 16, 128, 6, 1, True, False),
+    (6, 8, 16, 16, 128, 3, 2, True, True),    # layer3 config: dilation 2
+    (2, 8, 8, 8, 256, 2, 2, False, False),
+])
+def test_conv2d_band_bpack_parity(interpret_pallas, b, m, c, cout, lanes,
+                                  g, dil, res, relu):
+  """Batch-packed band kernel == XLA dilated NHWC conv (images must stay
+  independent: the per-image edge-lane masks are the bit that's new)."""
+  key = jax.random.PRNGKey(3)
+  k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+  xn = jax.random.normal(k1, (b, m, lanes, c), jnp.float32) * 0.3
+  wgt = jax.random.normal(k2, (3, 3, c, cout), jnp.float32) * 0.1
+  scale = jax.random.normal(k3, (cout,), jnp.float32) * 0.2 + 1.0
+  bias = jax.random.normal(k4, (cout,), jnp.float32) * 0.1
+  resn = (jax.random.normal(k5, (b, m, lanes, cout), jnp.float32) * 0.3
+          if res else None)
+
+  xl = jnp.transpose(xn, (0, 1, 3, 2))
+  rl = None if resn is None else jnp.transpose(resn, (0, 1, 3, 2))
+  got = c2.conv2d_band_bpack(xl, wgt, scale, bias, rl, relu=relu, g=g,
+                             dilation=dil)
+  ref = _xla_ref_dil(xn, wgt, scale, bias, resn, relu, dil)
+  np.testing.assert_allclose(np.asarray(jnp.transpose(got, (0, 1, 3, 2))),
+                             np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fe_lane_stage_dispatch_parity(interpret_pallas):
+  """SphereFeatureExtraction eval with the Pallas mode forced on — layers
+  1-3 lane-resident with batch-packed convs (incl. layer2's stride-2 lane
+  XLA convs and layer3's dilation-2 packed convs) — equals the NHWC XLA
+  path at random weights, same param tree."""
+  from mode_tpu.models.disparity import SphereFeatureExtraction
+
+  b, h, w = 6, 256, 512                      # ERP 2:1, lane-eligible W
+  key = jax.random.PRNGKey(4)
+  x = jax.random.normal(key, (b, h, w, 3), jnp.float32) * 0.5
+  model = SphereFeatureExtraction(sphere_type="ERP")
+  variables = model.init(key, x, train=False)
+  y_xla = model.apply(variables, x, train=False)
+
+  c3.set_conv3d_pallas("on")
+  try:
+    y_lane = model.apply(variables, x, train=False)
+  finally:
+    c3.set_conv3d_pallas("auto")
+  assert y_lane.shape == y_xla.shape
+  np.testing.assert_allclose(np.asarray(y_lane), np.asarray(y_xla),
+                             rtol=2e-3, atol=2e-3)
