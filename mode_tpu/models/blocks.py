@@ -433,6 +433,47 @@ def bn_relu_lane(x, prefix, features):
   return jnp.maximum(y, 0.0).astype(x.dtype)
 
 
+class Conv2dFast3x3(nn.Module):
+  """3x3 SAME stride-1 NHWC conv (optionally dilated) with the
+  batch-packed Pallas fast path: forward and grad-input run
+  ``conv2d_band_bpack`` via ``conv2d_3x3_fast_train`` (custom_vjp),
+  grad-weight stays XLA. Eligibility (``train_bpack2d_g``): per-shard
+  batch >= 2, a 128-multiple spatial axis, 8-multiple channels, no mesh,
+  Pallas policy on. Ineligible shapes run the identical XLA conv nn.Conv
+  would. Param tree identical to ``nn.Conv`` (``kernel`` HWIO, optional
+  ``bias``)."""
+  features: int
+  dilation: int = 1
+  use_bias: bool = False
+  kernel_init: Any = None
+
+  @nn.compact
+  def __call__(self, x):
+    from mode_tpu.ops.pallas.conv2d_kernel import (conv2d_3x3_fast_train,
+                                                   train_bpack2d_g)
+    cin = x.shape[-1]
+    w = self.param("kernel", self.kernel_init or msra_normal_init(),
+                   (3, 3, cin, self.features))
+    dt = jnp.promote_types(x.dtype, w.dtype)
+    x = x.astype(dt)
+    w = w.astype(dt)
+    g = train_bpack2d_g(x.shape, self.features, self.dilation,
+                        jnp.dtype(dt).itemsize)
+    if g is not None:
+      y = conv2d_3x3_fast_train(x, w, g, self.dilation)
+    else:
+      dn = jax.lax.conv_dimension_numbers(
+          x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+      y = jax.lax.conv_general_dilated(
+          x, w, (1, 1), [(self.dilation,) * 2] * 2,
+          rhs_dilation=(self.dilation,) * 2, dimension_numbers=dn,
+          precision=mxu_precision(dt))
+    if self.use_bias:
+      b = self.param("bias", nn.initializers.zeros, (self.features,))
+      y = y + b.astype(y.dtype)
+    return y
+
+
 def conv_nd(x: jnp.ndarray, features: int, kernel: Sequence[int], *,
             stride=1, pad=0, dilation=1, use_bias=False, name: str,
             kernel_init=None, train: bool = True) -> jnp.ndarray:
@@ -449,14 +490,24 @@ def conv_nd(x: jnp.ndarray, features: int, kernel: Sequence[int], *,
     y = Conv3dDFold(features, tuple(kernel), stride, pad,
                     use_bias=use_bias, kernel_init=kernel_init,
                     name=name)(x)
+  elif (nd == 2 and tuple(kernel) == (3, 3) and stride == (1, 1)
+        and dilation[0] == dilation[1] and pad == dilation):
+    # 3x3 SAME (possibly dilated): Conv2dFast3x3 takes the batch-packed
+    # custom-VJP fast path when eligible (b >= 2, no mesh — the round-3
+    # lesson that per-call transposes lose applied to the PER-IMAGE band
+    # kernel; the batch-packed GEMMs amortize them, docs/PROFILES.md
+    # round-5), XLA otherwise. Param tree identical to nn.Conv.
+    y = Conv2dFast3x3(features, dilation=dilation[0], use_bias=use_bias,
+                      kernel_init=kernel_init, name=name)(x)
   else:
-    # NOTE: no per-call Pallas dispatch here. Standalone the band kernel
-    # wins every eligible shape (scripts/bench_conv2d_pallas.py), but
+    # NOTE: no per-call per-image Pallas dispatch here. Standalone the band
+    # kernel wins every eligible shape (scripts/bench_conv2d_pallas.py), but
     # in-program the per-call NHWC<->lane transposes plus the lost conv+BN+
     # ReLU XLA fusion cost ~29 ms/frame net on the two-stage pipeline
-    # (2.81 -> 2.60 fps, round-3 A/B). The kernel pays off only when a whole
-    # block stays lane-major with the epilogue fused — see Conv2dLane /
-    # convbn2d_lane and the fusion net's eval path (models/fusion.py).
+    # (2.81 -> 2.60 fps, round-3 A/B). The per-image kernel pays off only
+    # when a whole block stays lane-major with the epilogue fused — see
+    # Conv2dLane / convbn2d_lane and the fusion net's eval path
+    # (models/fusion.py).
     y = nn.Conv(features, tuple(kernel), strides=stride,
                 padding=[(p, p) for p in pad], kernel_dilation=dilation,
                 use_bias=use_bias,

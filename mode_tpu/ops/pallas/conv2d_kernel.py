@@ -493,6 +493,94 @@ def _conv2d_xla(x, w):
                                   dimension_numbers=dn, precision=prec)
 
 
+def _conv2d_xla_dil(x, w, dil):
+  dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+  prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+          else lax.Precision.DEFAULT)
+  return lax.conv_general_dilated(x, w, (1, 1), [(dil, dil)] * 2,
+                                  rhs_dilation=(dil, dil),
+                                  dimension_numbers=dn, precision=prec)
+
+
+def _bpack_nhwc(x, w, g, dil):
+  """NHWC wrapper around :func:`conv2d_band_bpack` (bare conv, no
+  epilogue): transpose the 128-multiple spatial axis onto the lanes, run
+  the packed kernel, transpose back."""
+  la = lane_axis_for_2d(x.shape)
+  assert la is not None, x.shape
+  if la == 2:                     # W on lanes, bands over H
+    xl = jnp.transpose(x, (0, 1, 3, 2))
+    wl = w
+  else:                           # H on lanes, bands over W
+    xl = jnp.transpose(x, (0, 2, 3, 1))
+    wl = jnp.transpose(w, (1, 0, 2, 3))
+  y = conv2d_band_bpack(xl, wl, g=g, dilation=dil)
+  return (jnp.transpose(y, (0, 1, 3, 2)) if la == 2
+          else jnp.transpose(y, (0, 3, 1, 2)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_3x3_fast_train(x, w, g, dil):
+  """3x3 SAME stride-1 conv (optionally dilated), NHWC/HWIO, for the
+  TRAINING fast path: batch-packed Pallas forward AND grad-input (the
+  grad-input of a stride-1 SAME conv is the same-shaped conv with the
+  io-swapped, spatially flipped kernel), XLA conv-backward-filter for
+  grad-weight. Same structure as ``conv3d_ndhwc_fast``
+  (ops/pallas/conv3d_kernel.py): gradient-safe because every leg computes
+  the mathematically exact quantity — only reduction order differs from
+  the all-XLA path."""
+  return _bpack_nhwc(x, w, g, dil)
+
+
+def _bpack_train_fwd(x, w, g, dil):
+  return _bpack_nhwc(x, w, g, dil), (x, w)
+
+
+def _bpack_train_bwd(g_pack, dil, res, gy):
+  x, w = res
+  wt = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)          # (3,3,Cout,Cin)
+  if bpack_conv2d_ok(
+      (gy.shape[0],) + ((gy.shape[1], gy.shape[3], gy.shape[2])
+                        if lane_axis_for_2d(gy.shape) == 2
+                        else (gy.shape[2], gy.shape[3], gy.shape[1])),
+      wt.shape[3], jnp.dtype(gy.dtype).itemsize, False, g_pack, dil):
+    dx = _bpack_nhwc(gy, wt, g_pack, dil)
+  else:
+    dx = _conv2d_xla_dil(gy, wt, dil)
+  _, vjp_w = jax.vjp(lambda w_: _conv2d_xla_dil(x, w_, dil), w)
+  dw, = vjp_w(gy.astype(x.dtype))
+  return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+conv2d_3x3_fast_train.defvjp(_bpack_train_fwd, _bpack_train_bwd)
+
+
+def train_bpack2d_g(x_shape, cout, dilation: int = 1,
+                    itemsize: int = 2) -> int | None:
+  """Pack factor for the 2-D training fast path, or None if ineligible.
+  Shares the conv3d train gates (``train_pallas_enabled`` +
+  min-batch >= 2: the per-call NHWC<->lane transposes amortize only with
+  batched GEMMs, the round-4 A/B lesson) plus the bpack shape gates. No
+  mesh (the packed kernel has no shard_map wrapper)."""
+  from mode_tpu.ops.pallas import conv3d_kernel as c3k
+  b, h, w, cin = x_shape
+  if not c3k.train_pallas_enabled() or b < c3k._TRAIN_PALLAS_MIN_BATCH:
+    return None
+  if cin % 8 != 0 or cout % 8 != 0:
+    return None
+  la = lane_axis_for_2d(x_shape)
+  if la is None:
+    return None
+  lanes, m = (w, h) if la == 2 else (h, w)
+  g = pick_bpack_g(b, lanes)
+  if g is None:
+    return None
+  if not bpack_conv2d_ok((b, m, cin, lanes), cout, itemsize, False, g,
+                         dilation):
+    return None
+  return g
+
+
 @jax.custom_vjp
 def conv2d_3x3_fast(x, w):
   """Stride-1 3x3 SAME conv, NHWC/HWIO, Pallas forward + XLA backward.

@@ -179,3 +179,26 @@ def test_fe_lane_stage_dispatch_parity(interpret_pallas):
   assert y_lane.shape == y_xla.shape
   np.testing.assert_allclose(np.asarray(y_lane), np.asarray(y_xla),
                              rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("dil,g", [(1, 2), (2, 2)])
+def test_conv2d_bpack_train_grads_match_xla(interpret_pallas, dil, g):
+  """The batch-packed training conv's custom VJP (packed fwd + packed
+  grad-input + XLA grad-weight) equals the XLA conv's gradients."""
+  key = jax.random.PRNGKey(5)
+  k1, k2 = jax.random.split(key)
+  x = jax.random.normal(k1, (2, 8, 128, 8), jnp.float32) * 0.3
+  w = jax.random.normal(k2, (3, 3, 8, 8), jnp.float32) * 0.1
+
+  def loss_fast(x, w):
+    return jnp.sum(jnp.sin(c2.conv2d_3x3_fast_train(x, w, g, dil)))
+
+  def loss_xla(x, w):
+    return jnp.sum(jnp.sin(c2._conv2d_xla_dil(x, w, dil)))
+
+  gx_f, gw_f = jax.grad(loss_fast, argnums=(0, 1))(x, w)
+  gx_x, gw_x = jax.grad(loss_xla, argnums=(0, 1))(x, w)
+  np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_x),
+                             rtol=1e-4, atol=1e-4)
+  np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_x),
+                             rtol=1e-4, atol=1e-4)
