@@ -25,12 +25,15 @@ the serial numba z-buffer bridge (3 of 6 pairs, CPU), plus fusion —
 ≈ 4.7 s/frame. The target from BASELINE.json is ≥5× that per chip.
 
 Output protocol (round 5, driver keeps the LAST parseable JSON line):
-three progressively-complete JSON lines — train fields first (fast legs),
-then the pipeline fields, then the epoch-IO fields — so a driver timeout
-in any later leg can no longer discard the already-measured numbers (that
-is exactly what emptied BENCH_r04: one print at the very end). The
-epoch-IO legs run under a wall-clock budget (BENCH_WALL_BUDGET_S, default
-1620 s from main() start); past it their fields are null with a reason.
+four progressively-complete JSON lines — B=1 train fields first (shortest
+cold compile), then the headline pipeline fields, then the B=2 train
+fields (its cold compile is the longest: the batch-gated bpack custom-VJP
+kernels only engage at B>=2), then the epoch-IO fields — so a driver
+timeout in any later leg can no longer discard the already-measured
+numbers (that is exactly what emptied BENCH_r04: one print at the very
+end). The epoch-IO legs run under a wall-clock budget
+(BENCH_WALL_BUDGET_S, default 1620 s from main() start); past it their
+fields are null with a reason.
 """
 
 import json
@@ -296,25 +299,25 @@ def main():
   }
 
   # Progressive-output protocol (the driver keeps the LAST parseable JSON
-  # line; each emitted line is a superset of the previous): the fast train
-  # legs run + print FIRST, so even a driver timeout inside the ~20-min
-  # pipeline leg (which emptied BENCH_r04) still delivers numbers; the
-  # pipeline leg then upgrades the record, and the epoch-IO legs upgrade it
-  # again if the wall-clock budget allows.
+  # line; each emitted line is a superset of the previous). Legs are
+  # ordered by value-per-cold-compile-second: the B=1 train step (shortest
+  # cold compile, ~6 min) prints a first line as the floor, the headline
+  # pipeline leg upgrades it, THEN the B=2 train leg (whose cold compile is
+  # the longest — it engages the batch-gated bpack custom-VJP kernels that
+  # B=1 skips) and the epoch-IO legs upgrade it again budget permitting.
+  # Round-4's failure was one print after every leg; a cold-cache driver
+  # budget must never again produce zero parseable lines.
   train_s, train_xla_flops = bench_train_step(jax, jnp, b=1)
-  train2_s, train2_xla_flops = bench_train_step(jax, jnp, b=2)
   record.update({
       "train_step_s": round(train_s, 4),
-      "train_b2_ms_per_example": round(train2_s / 2 * 1e3, 1),
       # analytic-FLOPs MFU (conv MACs; see mode_tpu/utils/flops.py)
       "train_mfu_pct": round(100.0 * train_flops / train_s / peak, 2),
       "train_tflops": round(train_flops / 1e12, 3),
-      "train_b2_mfu_pct": round(100.0 * train2_flops / train2_s / peak, 2),
   })
   if train_xla_flops:
     record["train_tflops_xla"] = round(train_xla_flops / 1e12, 3)
   print(json.dumps(record), flush=True)
-  _mark("train JSON emitted")
+  _mark("train B=1 JSON emitted")
 
   pipe_times, pipe_xla_flops = bench_pipeline(jax, jnp)
   pipe_s = float(np.median(pipe_times))
@@ -334,6 +337,14 @@ def main():
     record["pipeline_tflops_xla"] = round(pipe_xla_flops / 1e12, 3)
   print(json.dumps(record), flush=True)
   _mark("pipeline JSON emitted")
+
+  train2_s, train2_xla_flops = bench_train_step(jax, jnp, b=2)
+  record.update({
+      "train_b2_ms_per_example": round(train2_s / 2 * 1e3, 1),
+      "train_b2_mfu_pct": round(100.0 * train2_flops / train2_s / peak, 2),
+  })
+  print(json.dumps(record), flush=True)
+  _mark("train B=2 JSON emitted")
 
   epoch = bench_epoch_io(budget_s)
   record.update(epoch)
